@@ -1,0 +1,314 @@
+"""3D ResNet family (MedicalNet-style), TPU-native.
+
+Architecture parity with reference models/resnet.py:40-264 and
+models/ImageEncoder.py:121-248:
+
+- conv 7x7x7 stride 2 stem -> 3x3x3 stride-2 max pool,
+- 4 stages at 64/128/256/512 planes; stage 3 stride 1 dilation 2, stage 4
+  stride 1 dilation 4 (resnet.py:140-143),
+- BasicBlock (expansion 1) / Bottleneck (expansion 4),
+- shortcut type 'A' (strided avg-pool + zero channel pad, resnet.py:26-37)
+  or 'B' (1x1 conv + BN),
+- depth->blocks: 10:[1,1,1,1], 18:[2,2,2,2], 34:[3,4,6,3], 50:[3,4,6,3]B,
+  101:[3,4,23,3]B, 152:[3,8,36,3]B, 200:[3,24,36,3]B (resnet.py:218-264),
+- classifier head = GAP -> dropout -> linear, replacing the reference's
+  conv_seg swap-out (train_ResNet3D.py:66-71); the original transposed-conv
+  segmentation head is also available (head='seg', resnet.py:145-169),
+- encoder mode = headless with optional global pool
+  (ImageEncoder.py:210-221).
+
+TPU-first design choices (not a port):
+- channels-last NDHWC layout — XLA's native conv layout on TPU,
+- bf16 compute / fp32 params via linen dtype/param_dtype (the reference's
+  AMP fp16 + GradScaler is unnecessary on TPU),
+- BatchNorm uses plain jnp batch statistics: under GSPMD with a
+  batch-sharded input, the reduction is global over the data axis
+  automatically, so multi-chip training matches single-device stats,
+- everything is trace-friendly: no data-dependent Python control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+DEPTH_BLOCKS = {
+    10: ("basic", (1, 1, 1, 1)),
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+    200: ("bottleneck", (3, 24, 36, 3)),
+}
+EXPANSION = {"basic": 1, "bottleneck": 4}
+# Classifier-head input width = 512 * expansion. The reference's map
+# (train_ResNet3D.py:65) lists depth 10 as 256, which is wrong for its own
+# BasicBlock[1,1,1,1] architecture (would crash at runtime if exercised);
+# corrected to 512 here.
+FC_IN = {10: 512, 18: 512, 34: 512, 50: 2048, 101: 2048, 152: 2048, 200: 2048}
+
+
+def max_pool_3d(x, window=3, stride=2, padding=1):
+    return nn.max_pool(
+        x,
+        window_shape=(window,) * 3,
+        strides=(stride,) * 3,
+        padding=((padding, padding),) * 3,
+    )
+
+
+def avg_pool_3d(x, window, stride, padding=0):
+    return nn.avg_pool(
+        x,
+        window_shape=(window,) * 3,
+        strides=(stride,) * 3,
+        padding=((padding, padding),) * 3,
+    )
+
+
+def global_avg_pool(x):
+    return jnp.mean(x, axis=(1, 2, 3))
+
+
+class ConvBN(nn.Module):
+    """Conv3D (no bias) + BatchNorm, kaiming-init weights."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,) * 3,
+            strides=(self.stride,) * 3,
+            kernel_dilation=(self.dilation,) * 3,
+            padding=((pad, pad),) * 3,
+            use_bias=False,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        return x
+
+
+class ShortcutA(nn.Module):
+    """Parameter-free shortcut: strided 1x1x1 avg pool + zero channel pad
+    (reference models/resnet.py:26-37)."""
+
+    out_features: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        if self.stride != 1:
+            x = avg_pool_3d(x, window=1, stride=self.stride)
+        pad = self.out_features - x.shape[-1]
+        if pad > 0:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+        return x
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    shortcut_type: str = "B"
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        cbn = partial(ConvBN, dtype=self.dtype, param_dtype=self.param_dtype)
+        out = cbn(self.planes, 3, self.stride, self.dilation)(x, train)
+        out = nn.relu(out)
+        out = cbn(self.planes, 3, 1, self.dilation)(out, train)
+
+        residual = x
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            if self.shortcut_type == "A":
+                residual = ShortcutA(self.planes, self.stride)(x)
+            else:
+                residual = cbn(self.planes, 1, self.stride)(x, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    shortcut_type: str = "B"
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        cbn = partial(ConvBN, dtype=self.dtype, param_dtype=self.param_dtype)
+        out_features = self.planes * 4
+        out = nn.relu(cbn(self.planes, 1)(x, train))
+        out = nn.relu(cbn(self.planes, 3, self.stride, self.dilation)(out, train))
+        out = cbn(out_features, 1)(out, train)
+
+        residual = x
+        if self.stride != 1 or x.shape[-1] != out_features:
+            if self.shortcut_type == "A":
+                residual = ShortcutA(out_features, self.stride)(x)
+            else:
+                residual = cbn(out_features, 1, self.stride)(x, train)
+        return nn.relu(out + residual)
+
+
+class SegHead(nn.Module):
+    """Transposed-conv segmentation head (reference resnet.py:145-169)."""
+
+    num_seg_classes: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = nn.ConvTranspose(32, kernel_size=(2,) * 3, strides=(2,) * 3, **kw)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
+        x = nn.relu(x)
+        x = nn.Conv(32, kernel_size=(3,) * 3, padding=1, use_bias=False, **kw)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_seg_classes, kernel_size=(1,) * 3, use_bias=False, **kw)(x)
+        return x
+
+
+class ResNet3D(nn.Module):
+    """3D ResNet backbone with selectable head.
+
+    head: 'classifier' (GAP->dropout->linear, the generate_model swap at
+    reference train_ResNet3D.py:66-71), 'seg' (conv_seg parity), 'pool'
+    (GAP embedding — ImageEncoder global_pool=True), or 'none' (layer4
+    feature map — ImageEncoder global_pool=False).
+    """
+
+    depth: int = 18
+    num_classes: int = 2
+    in_channels: int = 1
+    shortcut_type: str = "B"
+    head: str = "classifier"
+    dropout_rate: float = 0.5
+    num_seg_classes: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.depth not in DEPTH_BLOCKS:
+            raise ValueError(f"unsupported depth {self.depth}")
+        kind, layers = DEPTH_BLOCKS[self.depth]
+        block_cls = BasicBlock if kind == "basic" else Bottleneck
+
+        x = x.astype(self.dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        # stem: 7^3/s2 conv -> BN -> relu -> 3^3/s2 maxpool
+        x = nn.Conv(64, kernel_size=(7,) * 3, strides=(2,) * 3,
+                    padding=((3, 3),) * 3, use_bias=False,
+                    kernel_init=nn.initializers.variance_scaling(
+                        2.0, "fan_out", "truncated_normal"), **kw)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
+        x = nn.relu(x)
+        x = max_pool_3d(x, 3, 2, 1)
+
+        stage_spec = [  # (planes, stride, dilation) — resnet.py:137-143
+            (64, 1, 1),
+            (128, 2, 1),
+            (256, 1, 2),
+            (512, 1, 4),
+        ]
+        for (planes, stride, dilation), n_blocks in zip(stage_spec, layers):
+            for bi in range(n_blocks):
+                x = block_cls(
+                    planes,
+                    stride=stride if bi == 0 else 1,
+                    dilation=dilation,
+                    shortcut_type=self.shortcut_type,
+                    **kw,
+                )(x, train)
+            # activation tap for feature extraction (JAX has no hooks;
+            # taps are explicit — SURVEY.md §7.2 step 5)
+            self.sow("intermediates", "stage_out", x)
+
+        if self.head == "seg":
+            return SegHead(self.num_seg_classes, **kw)(x, train)
+        if self.head == "pool":
+            return global_avg_pool(x).astype(jnp.float32)
+        if self.head == "none":
+            return x
+        # classifier
+        x = global_avg_pool(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes, dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
+        return x.astype(jnp.float32)
+
+
+def _factory(depth):
+    def make(**kw):
+        return ResNet3D(depth=depth, **kw)
+    make.__name__ = f"resnet{depth}"
+    make.__doc__ = f"3D ResNet-{depth} (reference models/resnet.py:218-264 parity)."
+    return make
+
+
+resnet10 = _factory(10)
+resnet18 = _factory(18)
+resnet34 = _factory(34)
+resnet50 = _factory(50)
+resnet101 = _factory(101)
+resnet152 = _factory(152)
+resnet200 = _factory(200)
+
+
+def image_encoder(depth=18, in_channels=1, shortcut_type="B",
+                  global_pool=False, **kw):
+    """Headless encoder (reference models/ImageEncoder.py:227-248)."""
+    return ResNet3D(depth=depth, in_channels=in_channels,
+                    shortcut_type=shortcut_type,
+                    head="pool" if global_pool else "none", **kw)
+
+
+def generate_model(model_type="resnet", model_depth=18, resnet_shortcut="B",
+                   nb_class=2, dropout_rate=0.5, in_channels=1,
+                   compute_dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                   **_ignored):
+    """Config-driven factory (reference train_ResNet3D.py:44-84 semantics,
+    minus device placement — JAX handles that via sharding)."""
+    assert model_type == "resnet"
+    assert model_depth in DEPTH_BLOCKS
+    return ResNet3D(
+        depth=model_depth,
+        num_classes=nb_class,
+        in_channels=in_channels,
+        shortcut_type=resnet_shortcut,
+        head="classifier",
+        dropout_rate=dropout_rate,
+        dtype=compute_dtype,
+        param_dtype=param_dtype,
+    )

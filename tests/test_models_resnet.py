@@ -1,0 +1,130 @@
+"""3D ResNet family: shapes, heads, shortcut types, dtype policy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.models.resnet3d import (DEPTH_BLOCKS, FC_IN, ResNet3D,
+                                               generate_model, image_encoder,
+                                               resnet10, resnet18)
+
+
+def init_and_apply(model, x, train=False):
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    out = model.apply(variables, x, train=train,
+                      mutable=["batch_stats"] if train else False,
+                      rngs={"dropout": jax.random.PRNGKey(2)} if train else None)
+    return out, variables
+
+
+SMALL = (1, 20, 24, 20, 1)
+
+
+class TestResNet3D:
+    @pytest.mark.parametrize("depth", [10, 18])
+    def test_classifier_output_shape(self, depth):
+        model = generate_model(model_depth=depth, nb_class=2,
+                               compute_dtype=jnp.float32)
+        x = jnp.zeros(SMALL)
+        out, _ = init_and_apply(model, x)
+        assert out.shape == (1, 2)
+        assert out.dtype == jnp.float32
+
+    def test_bottleneck_classifier(self):
+        model = generate_model(model_depth=50, nb_class=2,
+                               compute_dtype=jnp.float32)
+        out, variables = init_and_apply(model, jnp.zeros(SMALL))
+        assert out.shape == (1, 2)
+        # final dense must see 2048 features (reference fc_in map,
+        # train_ResNet3D.py:65)
+        dense = [v for k, v in variables["params"].items() if "Dense" in k][0]
+        assert dense["kernel"].shape[0] == FC_IN[50]
+
+    def test_fc_in_map_basic(self):
+        for depth in (10, 18):
+            model = generate_model(model_depth=depth, compute_dtype=jnp.float32)
+            _, variables = init_and_apply(model, jnp.zeros(SMALL))
+            dense = [v for k, v in variables["params"].items() if "Dense" in k][0]
+            assert dense["kernel"].shape[0] == FC_IN[depth]
+
+    def test_dilated_stages_keep_resolution(self):
+        """Stages 3/4 use stride 1 + dilation (reference resnet.py:140-143):
+        layer4 output spatial = input/8 (stem /2, pool /2, stage2 /2)."""
+        model = image_encoder(depth=10, global_pool=False, dtype=jnp.float32)
+        x = jnp.zeros((1, 32, 32, 32, 1))
+        out, _ = init_and_apply(model, x)
+        assert out.shape == (1, 4, 4, 4, 512)
+
+    def test_encoder_global_pool(self):
+        model = image_encoder(depth=18, global_pool=True, dtype=jnp.float32)
+        out, _ = init_and_apply(model, jnp.zeros(SMALL))
+        assert out.shape == (1, 512)
+
+    def test_shortcut_a_has_no_downsample_params(self):
+        ma = ResNet3D(depth=10, shortcut_type="A", dtype=jnp.float32)
+        mb = ResNet3D(depth=10, shortcut_type="B", dtype=jnp.float32)
+        _, va = init_and_apply(ma, jnp.zeros(SMALL))
+        _, vb = init_and_apply(mb, jnp.zeros(SMALL))
+        na = sum(x.size for x in jax.tree_util.tree_leaves(va["params"]))
+        nb = sum(x.size for x in jax.tree_util.tree_leaves(vb["params"]))
+        assert na < nb  # 'A' shortcut is parameter-free (resnet.py:26-37)
+
+    def test_seg_head_shape(self):
+        model = ResNet3D(depth=10, head="seg", num_seg_classes=1,
+                         dtype=jnp.float32)
+        x = jnp.zeros((1, 32, 32, 32, 1))
+        out, _ = init_and_apply(model, x)
+        # conv_seg upsamples layer4 (/8) by 2 -> /4 (resnet.py:145-169)
+        assert out.shape == (1, 8, 8, 8, 1)
+
+    def test_bf16_policy_params_stay_fp32(self):
+        model = generate_model(model_depth=10, compute_dtype=jnp.bfloat16)
+        out, variables = init_and_apply(model, jnp.zeros(SMALL))
+        for leaf in jax.tree_util.tree_leaves(variables["params"]):
+            assert leaf.dtype == jnp.float32
+        assert out.dtype == jnp.float32  # logits re-cast for stable softmax
+
+    def test_train_mode_updates_batch_stats(self):
+        model = generate_model(model_depth=10, compute_dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=SMALL),
+                        jnp.float32)
+        (out, updates), variables = init_and_apply(model, x, train=True)
+        old = variables["batch_stats"]
+        new = updates["batch_stats"]
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), old, new)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    def test_dropout_active_only_in_train(self):
+        model = generate_model(model_depth=10, dropout_rate=0.5,
+                               compute_dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=SMALL), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x,
+            train=False)
+        e1 = model.apply(variables, x, train=False)
+        e2 = model.apply(variables, x, train=False)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    def test_depth_blocks_table(self):
+        assert DEPTH_BLOCKS[18] == ("basic", (2, 2, 2, 2))
+        assert DEPTH_BLOCKS[200] == ("bottleneck", (3, 24, 36, 3))
+
+    def test_factories(self):
+        assert resnet10().depth == 10
+        assert resnet18(num_classes=4).num_classes == 4
+
+    def test_intermediates_taps(self):
+        """Explicit activation taps replace torch forward hooks
+        (reference models/mymodel.py:62-85)."""
+        model = image_encoder(depth=10, global_pool=False, dtype=jnp.float32)
+        x = jnp.zeros((1, 16, 16, 16, 1))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        out, inter = model.apply(variables, x, train=False,
+                                 mutable=["intermediates"])
+        taps = inter["intermediates"]["stage_out"]
+        assert len(taps) == 4  # one per stage
+        assert taps[0].shape[-1] == 64 and taps[3].shape[-1] == 512

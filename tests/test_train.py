@@ -1,0 +1,135 @@
+"""Training harness: schedule, optimizer, metrics, end-to-end CV run."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.core.config import Config
+from multimodal_ad_tpu.train.loop import (make_epoch_schedule, make_optimizer,
+                                          weighted_ce)
+from multimodal_ad_tpu.train.metrics import (calculate_metrics,
+                                             model_selection_score)
+
+
+class TestSchedule:
+    def test_warmup_then_cosine(self):
+        """Reference: LinearLR 0.1->1.0 over min(10, epochs//10) epochs then
+        CosineAnnealingLR to lr*1e-4 (train_ResNet3D.py:172-194)."""
+        lr = 1e-3
+        sched = make_epoch_schedule(lr, num_epochs=100)
+        assert float(sched(0)) == pytest.approx(lr * 0.1)
+        assert float(sched(10)) == pytest.approx(lr, rel=1e-3)
+        assert float(sched(109)) == pytest.approx(lr * 1e-4, rel=0.05)
+        # cosine is monotonically decreasing after warmup
+        vals = [float(sched(e)) for e in range(10, 110)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    def test_warmup_clamped(self):
+        sched = make_epoch_schedule(1.0, num_epochs=5)  # warmup = max(1, ...)
+        assert float(sched(1)) == pytest.approx(1.0)
+
+
+class TestLoss:
+    def test_weighted_ce_matches_torch(self):
+        import torch
+
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(6, 2)).astype(np.float32)
+        labels = np.array([0, 1, 0, 1, 1, 0])
+        w = np.array([0.3, 0.7], np.float32)
+        mask = np.ones(6, np.float32)
+
+        ours = float(weighted_ce(jnp.asarray(logits), jnp.asarray(labels),
+                                 jnp.asarray(w), jnp.asarray(mask)))
+        ref = float(torch.nn.CrossEntropyLoss(weight=torch.tensor(w))(
+            torch.tensor(logits), torch.tensor(labels)))
+        assert ours == pytest.approx(ref, rel=1e-5)
+
+    def test_mask_excludes_padding(self):
+        logits = jnp.asarray([[10.0, -10.0], [0.0, 0.0]])
+        labels = jnp.asarray([0, 1])
+        w = jnp.ones(2)
+        full = weighted_ce(logits, labels, w, jnp.asarray([1.0, 1.0]))
+        masked = weighted_ce(logits, labels, w, jnp.asarray([1.0, 0.0]))
+        assert float(masked) < float(full)
+
+
+class TestOptimizer:
+    def test_adam_weight_decay_in_gradient(self):
+        """torch Adam(weight_decay) folds wd*param into the grad before the
+        moments — verify our chain against torch on one step."""
+        import torch
+
+        p0 = np.array([1.0, -2.0], np.float32)
+        g = np.array([0.1, 0.2], np.float32)
+        lr, wd = 1e-2, 1e-1
+
+        tp = torch.tensor(p0, requires_grad=True)
+        opt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+        tp.grad = torch.tensor(g)
+        opt.step()
+
+        import optax
+        tx = make_optimizer(lambda _: lr, weight_decay=wd, grad_clip_norm=0.0)
+        params = {"w": jnp.asarray(p0)}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+        new = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(new["w"]), tp.detach().numpy(),
+                                   rtol=1e-5)
+
+
+class TestMetrics:
+    def test_seven_metrics_and_cm(self):
+        y_true = [0, 0, 1, 1, 1, 0]
+        y_pred = [0, 1, 1, 1, 0, 0]
+        y_score = [0.1, 0.8, 0.9, 0.7, 0.4, 0.2]
+        m = calculate_metrics(y_true, y_pred, y_score)
+        assert set(m) == {"ACC", "PRE", "SEN", "SPE", "F1", "AUC", "MCC", "cm"}
+        assert m["ACC"] == pytest.approx(4 / 6)
+        tn, fp, fn, tp = m["cm"].ravel()
+        assert (tn, fp, fn, tp) == (2, 1, 1, 2)
+        assert m["SPE"] == pytest.approx(tn / (tn + fp + 1e-8))
+
+    def test_selection_score(self):
+        m = {"AUC": 1.0, "ACC": 0.0}
+        assert model_selection_score(m) == pytest.approx(0.3)
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_cv_train_and_test(self, adni_dir, tmp_path, mesh8):
+        """Full miniature pipeline: manifest -> 2-fold CV -> best ckpts ->
+        fold-ensemble test, on the 8-device CPU mesh."""
+        from multimodal_ad_tpu.train.cv import train_cv
+
+        cfg = Config(
+            label_file=adni_dir["label_file"],
+            mri_dir=adni_dir["mri_dir"],
+            task="ADCN",
+            num_epochs=2,
+            batch_size=8,
+            lr=1e-3,
+            n_splits=2,
+            model_depth=10,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            compute_dtype="float32",
+            loader_threads=2,
+        )
+        results, ckpt_dir = train_cv(cfg, mesh=mesh8, verbose=False)
+        assert os.path.isdir(os.path.join(ckpt_dir, "best_fold1"))
+        assert os.path.isdir(os.path.join(ckpt_dir, "best_fold2"))
+        assert os.path.isdir(os.path.join(ckpt_dir, "model_fold2_final"))
+        assert os.path.isfile(os.path.join(ckpt_dir, "cv_results.csv"))
+        assert 0.0 <= results["avg"]["ACC"] <= 1.0
+        assert len(results["per_fold"]) == 2
+
+        # CSV header matches row width (fixes reference quirk §8.1)
+        import csv
+        with open(os.path.join(ckpt_dir, "cv_results.csv")) as f:
+            rows = list(csv.reader(f))
+        assert len(rows[0]) == len(rows[1]) == 19
+        assert len(rows) == 1 + 2 * 2  # header + folds*epochs
