@@ -1,0 +1,227 @@
+"""Benchmark: ADNI volumes/sec (preprocess + infer), TPU vs CPU reference.
+
+Measures the BASELINE.md operative metric — end-to-end inference throughput
+of the flagship 3D ResNet-18 AD/CN classifier over full-size MNI volumes
+(91x109x91 @ 2mm) including host preprocessing — for:
+
+  1. the CPU PyTorch reference path (a minimal torch transcription of the
+     reference architecture, models/resnet.py:112-215 + the classifier head
+     swap of train_ResNet3D.py:66-71, used ONLY as the measurement anchor
+     since the reference publishes no numbers, SURVEY.md §6), and
+  2. this framework's JAX path on the available accelerator (threaded host
+     preprocess -> double-buffered sharded device_put -> jit'd bf16 forward).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tpu_volumes_per_sec, "unit": "volumes/s",
+   "vs_baseline": tpu/cpu_ratio}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+VOL_SHAPE = (91, 109, 91)
+BATCH = 4
+CPU_TIMED_BATCHES = 2
+TPU_TIMED_BATCHES = 24
+STREAM_TIMED_BATCHES = 6
+
+
+def synth_volumes(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 4096, VOL_SHAPE).astype(np.int16) for _ in range(n)]
+
+
+def preprocess(vol):
+    from multimodal_ad_tpu.data.transforms import scale_intensity
+    return scale_intensity(vol.astype(np.float32))
+
+
+# ----------------------------------------------------------------------
+# CPU PyTorch reference path
+# ----------------------------------------------------------------------
+
+def _torch_resnet18_3d():
+    import torch
+    import torch.nn as nn
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride=1, dilation=1):
+            super().__init__()
+            self.c1 = nn.Conv3d(cin, cout, 3, stride, dilation, dilation, bias=False)
+            self.b1 = nn.BatchNorm3d(cout)
+            self.c2 = nn.Conv3d(cout, cout, 3, 1, dilation, dilation, bias=False)
+            self.b2 = nn.BatchNorm3d(cout)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = nn.Sequential(
+                    nn.Conv3d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm3d(cout))
+
+        def forward(self, x):
+            r = x if self.down is None else self.down(x)
+            o = torch.relu(self.b1(self.c1(x)))
+            o = self.b2(self.c2(o))
+            return torch.relu(o + r)
+
+    class R18(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv3d(1, 64, 7, 2, 3, bias=False), nn.BatchNorm3d(64),
+                nn.ReLU(), nn.MaxPool3d(3, 2, 1))
+            specs = [(64, 64, 1, 1), (64, 64, 1, 1),
+                     (64, 128, 2, 1), (128, 128, 1, 1),
+                     (128, 256, 1, 2), (256, 256, 1, 2),
+                     (256, 512, 1, 4), (512, 512, 1, 4)]
+            self.layers = nn.Sequential(*[Block(*s) for s in specs])
+            self.head = nn.Linear(512, 2)
+
+        def forward(self, x):
+            x = self.layers(self.stem(x))
+            return self.head(x.mean(dim=(2, 3, 4)))
+
+    return R18().eval()
+
+
+def bench_cpu_reference(vols):
+    import torch
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = _torch_resnet18_3d()
+
+    def run_batch(batch_vols):
+        x = np.stack([preprocess(v)[None] for v in batch_vols])  # NCDHW
+        with torch.no_grad():
+            out = model(torch.from_numpy(x))
+        return out.numpy()
+
+    run_batch(vols[:BATCH])  # warmup
+    t0 = time.time()
+    n = 0
+    for i in range(CPU_TIMED_BATCHES):
+        run_batch(vols[i * BATCH:(i + 1) * BATCH])
+        n += BATCH
+    return n / (time.time() - t0)
+
+
+# ----------------------------------------------------------------------
+# JAX path (this framework)
+# ----------------------------------------------------------------------
+
+def bench_jax(vols):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_ad_tpu.data.pipeline import device_prefetch
+    from multimodal_ad_tpu.models.resnet3d import generate_model
+    from multimodal_ad_tpu.ops.normalize import scale_intensity as dev_scale
+    from multimodal_ad_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                                 replicate)
+
+    mesh = make_mesh({"data": -1})
+    n_dev = mesh.size
+    batch = BATCH * n_dev if n_dev > 1 else BATCH
+
+    model = generate_model(model_depth=18, nb_class=2)
+    x0f = jnp.zeros((1, *VOL_SHAPE, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0f, train=False)
+    variables = replicate(variables, mesh)
+
+    @jax.jit
+    def forward(variables, raw):
+        # normalization fused on device — raw int16 voxels ride the host
+        # link at half the bytes of f32
+        x = dev_scale(raw)
+        return model.apply(variables, x, train=False)
+
+    def host_batches(num):
+        for i in range(num):
+            sel = [vols[(i * batch + j) % len(vols)] for j in range(batch)]
+            yield {"image": np.stack(sel)[..., None]}  # int16, no host math
+
+    # warmup/compile with the SAME sharding the pipeline produces
+    # (a differently-sharded warmup would compile a second executable)
+    x0 = jax.device_put(np.zeros((batch, *VOL_SHAPE, 1), np.int16),
+                        data_sharding(mesh))
+    np.asarray(forward(variables, x0))
+
+    t0 = time.time()
+    outs = []
+    for dev_batch in device_prefetch(host_batches(STREAM_TIMED_BATCHES), mesh,
+                                     depth=2):
+        outs.append(forward(variables, dev_batch["image"]))
+    np.asarray(outs[-1])  # fetch: the only true sync point on this platform
+    dt = time.time() - t0
+    return STREAM_TIMED_BATCHES * batch / dt
+
+
+def bench_jax_hbm_resident(vols):
+    """Steady-state throughput with the corpus cached in HBM (the
+    production configuration for ADNI-scale data — data/device_cache.py):
+    per-step work is on-device gather + normalize + forward; the host sends
+    only int32 index vectors."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_ad_tpu.data.device_cache import DeviceDataset
+    from multimodal_ad_tpu.models.resnet3d import generate_model
+    from multimodal_ad_tpu.ops.normalize import scale_intensity as dev_scale
+    from multimodal_ad_tpu.parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh({"data": -1})
+    batch = BATCH * mesh.size if mesh.size > 1 else BATCH
+
+    volumes = np.stack(vols)[..., None]
+    labels = np.zeros(len(vols), np.int32)
+    ds = DeviceDataset(volumes, labels, mesh=mesh)
+
+    model = generate_model(model_depth=18, nb_class=2)
+    x0 = jnp.zeros((1, *VOL_SHAPE, 1), jnp.float32)
+    variables = replicate(
+        model.init({"params": jax.random.PRNGKey(0)}, x0, train=False), mesh)
+
+    @jax.jit
+    def step(variables, indices):
+        b = ds.gather(indices)
+        return model.apply(variables, dev_scale(b["image"]), train=False)
+
+    rng = np.random.default_rng(0)
+    idx0 = rng.integers(0, ds.n, batch).astype(np.int32)
+    np.asarray(step(variables, idx0))  # compile
+
+    t0 = time.time()
+    outs = [step(variables,
+                 rng.integers(0, ds.n, batch).astype(np.int32))
+            for _ in range(TPU_TIMED_BATCHES)]
+    np.asarray(outs[-1])
+    dt = time.time() - t0
+    return TPU_TIMED_BATCHES * batch / dt
+
+
+def main():
+    vols = synth_volumes(12)
+
+    hbm_vps = bench_jax_hbm_resident(vols)
+    stream_vps = bench_jax(vols)
+    cpu_vps = bench_cpu_reference(vols)
+
+    result = {
+        "metric": "adni_resnet18_3d_volumes_per_sec_per_chip",
+        "value": round(hbm_vps, 2),
+        "unit": "volumes/s",
+        "vs_baseline": round(hbm_vps / cpu_vps, 2),
+        "baseline_cpu_volumes_per_sec": round(cpu_vps, 3),
+        "streaming_volumes_per_sec": round(stream_vps, 2),
+        "batch": BATCH,
+        "volume_shape": list(VOL_SHAPE),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""Atlas utilities + feature-extraction CSV contracts."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.data.adni import ADNIManifest
+from multimodal_ad_tpu.data.synthetic import make_atlas
+from multimodal_ad_tpu.eval.atlas import (compact_labels, load_atlas,
+                                          query_voxel, query_world,
+                                          roi_centers, save_roi_overlay)
+from multimodal_ad_tpu.eval.features import (extract_encoder_features,
+                                             extract_unet_features)
+from multimodal_ad_tpu.eval.stats import compute_p_values
+from multimodal_ad_tpu.utils import nifti
+
+
+@pytest.fixture(scope="module")
+def atlas_files(tmp_path_factory):
+    import json
+    root = tmp_path_factory.mktemp("atlas")
+    labels = make_atlas((20, 24, 20), n_rois=4, seed=2)
+    # make ids sparse like AAL (skip id 3)
+    labels[labels == 3] = 5
+    nii = str(root / "atlas.nii")
+    nifti.save(nii, labels.astype(np.int16), pixdim=(2, 2, 2))
+    lut = {"rois": {"1": {"label": "Precentral_L"}, "2": {"label": "Precentral_R"},
+                    "4": {"label": "Frontal_Sup_L"}, "5": {"label": "Hippocampus_L"}}}
+    jpath = str(root / "atlas.json")
+    json.dump(lut, open(jpath, "w"))
+    return nii, jpath
+
+
+class TestAtlas:
+    def test_load_atlas(self, atlas_files):
+        nii, jpath = atlas_files
+        labels, roi_ids, roi_names, affine = load_atlas(nii, jpath)
+        assert list(roi_ids) == [1, 2, 4, 5]
+        assert roi_names[0] == "Precentral_L"
+        assert roi_names[3] == "Hippocampus_L"
+        assert affine[0, 0] == 2.0
+
+    def test_lut_fallback(self, atlas_files):
+        nii, _ = atlas_files
+        _, roi_ids, roi_names, _ = load_atlas(nii, None)
+        assert roi_names == [f"ROI{i}" for i in roi_ids]
+
+    def test_compact_labels(self, atlas_files):
+        nii, jpath = atlas_files
+        labels, roi_ids, _, _ = load_atlas(nii, jpath)
+        compacted = compact_labels(labels, roi_ids)
+        assert set(np.unique(compacted)) <= {0, 1, 2, 3, 4}
+        assert ((labels == 5) == (compacted == 4)).all()
+
+    def test_queries(self, atlas_files):
+        nii, jpath = atlas_files
+        labels, roi_ids, roi_names, affine = load_atlas(nii, jpath)
+        names = dict(zip((int(i) for i in roi_ids), roi_names))
+        vox = np.argwhere(labels == 1)[0]
+        assert query_voxel(labels, names, vox) == "Precentral_L"
+        assert query_voxel(labels, names, (-1, 0, 0)) is None
+        centers = roi_centers(labels, roi_ids, affine)
+        name, rid, dist = query_world(centers[1], centers, names)
+        assert name == "Precentral_L" and rid == 1 and dist < 1e-9
+
+    def test_overlay_png(self, atlas_files, tmp_path, rng):
+        nii, jpath = atlas_files
+        labels, roi_ids, _, _ = load_atlas(nii, jpath)
+        mri = rng.normal(size=labels.shape).astype(np.float32)
+        out = save_roi_overlay(mri, labels, [1, 2], str(tmp_path / "o.png"))
+        assert os.path.getsize(out) > 1000
+
+
+class TestUNetExtraction:
+    @pytest.mark.slow
+    def test_csv_contracts(self, adni_dir, tmp_path, mesh8):
+        from multimodal_ad_tpu.models.unet3d import UNet3D
+
+        m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
+                         verbose=False)
+        records = m.data_dict[:5]
+        labels = make_atlas(adni_dir["shape"], n_rois=3, seed=0)
+        roi_names = ["A", "B", "C"]
+        model = UNet3D(level_channels=(8, 16, 32), bottleneck_channel=64)
+
+        fpath, rpath = extract_unet_features(
+            records, labels, roi_names, str(tmp_path), model=model,
+            batch_size=8, mesh=mesh8, num_threads=2)
+
+        with open(fpath) as f:
+            rows = list(csv.reader(f))
+        x, y, z = adni_dir["shape"]
+        assert rows[0][:3] == ["Subject_ID", "f0", "f1"]
+        assert len(rows[0]) == 1 + x * y * z
+        assert len(rows) == 6  # header + 5 subjects (pad rows dropped)
+
+        with open(rpath) as f:
+            rrows = list(csv.reader(f))
+        # header: ROI-major, channel-minor; 8 channels (level_channels[0])
+        assert rrows[0][1] == "A_c0"
+        assert rrows[0][1 + 8] == "B_c0"
+        assert len(rrows[0]) == 1 + 3 * 8
+        assert len(rrows) == 6
+
+    @pytest.mark.slow
+    def test_bug_compat_transposes_rows(self, adni_dir, tmp_path, mesh8):
+        from multimodal_ad_tpu.models.unet3d import UNet3D
+
+        m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
+                         verbose=False)
+        records = m.data_dict[:2]
+        labels = make_atlas(adni_dir["shape"], n_rois=3, seed=0)
+        model = UNet3D(level_channels=(8, 16, 32), bottleneck_channel=64)
+
+        _, p_fixed = extract_unet_features(
+            records, labels, ["A", "B", "C"], str(tmp_path / "fixed"),
+            model=model, batch_size=8, mesh=mesh8, num_threads=2)
+        _, p_compat = extract_unet_features(
+            records, labels, ["A", "B", "C"], str(tmp_path / "compat"),
+            model=model, batch_size=8, mesh=mesh8, num_threads=2,
+            reference_bug_compat=True)
+
+        a = np.loadtxt(p_fixed, delimiter=",", skiprows=1,
+                       usecols=range(1, 25))
+        b = np.loadtxt(p_compat, delimiter=",", skiprows=1,
+                       usecols=range(1, 25))
+        # same multiset of values, different order (R,C) vs (C,R) flatten
+        np.testing.assert_allclose(np.sort(a, axis=1), np.sort(b, axis=1),
+                                   rtol=1e-6)
+        assert not np.allclose(a, b)
+        np.testing.assert_allclose(
+            a.reshape(-1, 3, 8), b.reshape(-1, 8, 3).transpose(0, 2, 1),
+            rtol=1e-6)
+
+
+class TestEncoderExtraction:
+    @pytest.mark.slow
+    def test_adni_features_csv(self, adni_dir, tmp_path, mesh8):
+        m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
+                         verbose=False)
+        fpath, spath = extract_encoder_features(
+            m.data_dict[:3], str(tmp_path), depth=10, batch_size=8,
+            mesh=mesh8, num_threads=2, input_shape=adni_dir["shape"])
+        with open(fpath) as f:
+            rows = list(csv.reader(f))
+        assert rows[0][0] == "Subject_ID" and rows[0][-1] == "label"
+        assert len(rows) == 4
+        assert {r[-1] for r in rows[1:]} <= {"0", "1"}
+        with open(spath) as f:
+            srows = list(csv.reader(f))
+        assert len(srows) == 5  # header + 4 stage taps
+
+
+class TestStats:
+    def test_p_values(self):
+        a = [0.9152, 0.8830, 0.9218, 0.9340, 0.9418]
+        b = [0.9867, 0.9767, 0.9806, 0.9845, 0.9751]
+        out = compute_p_values(a, b)
+        assert out["t_p"] < 0.01
+        assert 0 <= out["wilcoxon_p"] <= 1
+
+    def test_identical_vectors(self):
+        out = compute_p_values([1, 2, 3], [1, 2, 3])
+        assert out["wilcoxon_p"] == 1.0
+
+    def test_length_mismatch(self):
+        with pytest.raises(ValueError):
+            compute_p_values([1, 2], [1, 2, 3])
