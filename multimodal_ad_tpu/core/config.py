@@ -63,6 +63,8 @@ class Config:
     prefetch_depth: int = 2
     loader_threads: int = 8
     resume: bool = False  # mid-training resume (reference has none, SURVEY §5)
+    hbm_cache: bool = False  # cache the decoded corpus in HBM (device_cache)
+    profile_dir: str = ""  # jax.profiler trace output (empty = off)
 
     extra: dict = field(default_factory=dict)
 

@@ -74,6 +74,63 @@ class DeviceDataset:
             yield chunk.astype(np.int32)
 
 
+class DeviceEpochIterator:
+    """Epoch iterator over an HBM-resident dataset subset.
+
+    Yields device-ready batches (gather + normalize jitted on device); the
+    host only supplies int32 index vectors. Marked `device_resident` so the
+    training loop skips the host->HBM prefetch stage.
+    """
+
+    device_resident = True
+
+    def __init__(self, dataset: DeviceDataset, indices, batch_size: int,
+                 shuffle: bool = False, seed: int = 0,
+                 normalizer: str = "scale_intensity", subjects=None):
+        from ..ops.normalize import NORMALIZERS
+
+        self.ds = dataset
+        self.indices = np.asarray(indices, np.int64)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.subjects = subjects
+        self._epoch = 0
+        norm = NORMALIZERS[normalizer]
+
+        @jax.jit
+        def _gather(idx):
+            b = dataset.gather(idx)
+            b["image"] = norm(b["image"])
+            return b
+
+        self._gather = _gather
+
+    def __len__(self):
+        return -(-len(self.indices) // self.batch_size)
+
+    def __iter__(self):
+        order = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        for i in range(0, len(order), bs):
+            chunk = order[i:i + bs]
+            n_real = len(chunk)
+            if n_real < bs:  # pad to static shape, mask invalid rows
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n_real)])
+            batch = dict(self._gather(jnp.asarray(chunk, jnp.int32)))
+            mask = np.ones(bs, np.float32)
+            mask[n_real:] = 0.0
+            batch["mask"] = jnp.asarray(mask)
+            batch["subject"] = ([self.subjects[j] for j in chunk]
+                                if self.subjects is not None else
+                                [str(j) for j in chunk])
+            yield batch
+
+
 def build_device_dataset(records, mesh=None, loader=None, transform=None,
                          store_dtype=np.int16, num_threads: int = 8):
     """Decode a manifest's volumes once on host and upload to HBM.

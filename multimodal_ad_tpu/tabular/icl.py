@@ -1,0 +1,303 @@
+"""In-context tabular learner (TabPFN-style prior-fitted transformer).
+
+The reference's tabular branch wraps the external TabPFN v2 foundation model
+(reference models/tabpfn-extensions/src/tabpfn_extensions/utils.py:270-300);
+its checkpoint is not shipped (.MISSING_LARGE_BLOBS). Per SURVEY.md §7.3 the
+TPU build ships the same *interface* with a swappable embedder, plus this
+from-scratch small prior-fitted network as the TPU-native default:
+
+- a row-token transformer: each table row is one token (feature values
+  z-scored by context statistics, projected to d_model); context rows add a
+  label embedding, query rows a learned [QUERY] embedding,
+- masked attention: every token attends to context tokens only (queries
+  never leak into keys) — one (N+M) self-attention with a bias mask, which
+  XLA maps onto the MXU as plain batched matmuls,
+- meta-trained on synthetic tasks from a random-function prior
+  (`sample_tasks`): random MLP/linear latent functions over mixed
+  gaussian/quantized features, quantile-bucketed into classes,
+- fit() = store the (z-scored, padded) context set; predict()/embeddings =
+  one jit'd forward. No gradient at inference — exactly the TabPFN usage
+  pattern.
+
+Static shapes throughout: features pad to `max_features`, context rows pad
+to `max_context` with a validity mask, classes pad to `max_classes`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class ICLConfig:
+    d_model: int = 128
+    n_heads: int = 4
+    n_layers: int = 4
+    d_ff: int = 256
+    max_features: int = 192
+    max_classes: int = 10
+    max_context: int = 512
+    dropout: float = 0.0
+
+
+class ICLBlock(nn.Module):
+    cfg: ICLConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, attn_mask, deterministic=True):
+        c = self.cfg
+        y = nn.LayerNorm(dtype=self.dtype)(h)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=c.n_heads, qkv_features=c.d_model, dtype=self.dtype,
+            deterministic=deterministic, dropout_rate=c.dropout,
+        )(y, y, mask=attn_mask)
+        h = h + y
+        y = nn.LayerNorm(dtype=self.dtype)(h)
+        y = nn.Dense(c.d_ff, dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(c.d_model, dtype=self.dtype)(y)
+        return h + y
+
+
+class ICLTransformer(nn.Module):
+    """Forward over one (or a batch of) in-context tasks.
+
+    Inputs:
+      x_ctx (B, N, F), y_ctx (B, N) int32, ctx_mask (B, N) {0,1},
+      x_qry (B, M, F)
+    Returns:
+      logits (B, M, max_classes), qry_emb (B, M, d_model),
+      ctx_emb (B, N, d_model)
+    """
+
+    cfg: ICLConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_ctx, y_ctx, ctx_mask, x_qry, deterministic=True):
+        c = self.cfg
+        b, n, f = x_ctx.shape
+        m = x_qry.shape[1]
+
+        proj = nn.Dense(c.d_model, dtype=self.dtype, name="feature_proj")
+        label_emb = nn.Embed(c.max_classes, c.d_model, dtype=self.dtype,
+                             name="label_embed")
+        query_tok = self.param("query_token",
+                               nn.initializers.normal(0.02), (c.d_model,))
+
+        h_ctx = proj(x_ctx) + label_emb(y_ctx)
+        h_qry = proj(x_qry) + query_tok.astype(self.dtype)
+        h = jnp.concatenate([h_ctx, h_qry], axis=1)  # (B, N+M, D)
+
+        # attention bias: everyone may attend to VALID context tokens and to
+        # itself; queries are never keys for other tokens
+        total = n + m
+        key_is_ctx = jnp.concatenate(
+            [ctx_mask.astype(bool), jnp.zeros((b, m), bool)], axis=1)
+        allowed = jnp.broadcast_to(key_is_ctx[:, None, :], (b, total, total))
+        eye = jnp.eye(total, dtype=bool)[None]
+        allowed = (allowed | eye)[:, None]  # (B, 1, Q, K) boolean mask
+
+        for _ in range(c.n_layers):
+            h = ICLBlock(c, dtype=self.dtype)(h, allowed, deterministic)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
+
+        logits = nn.Dense(c.max_classes, dtype=self.dtype, name="cls_head")(h)
+        return (logits[:, n:], h[:, n:], h[:, :n])
+
+
+# ----------------------------------------------------------------------
+# Synthetic-task prior for meta-training
+# ----------------------------------------------------------------------
+
+def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
+                 n_ctx: int, n_qry: int):
+    """Random-function prior: gaussian/mixed features -> random shallow MLP
+    latent score -> quantile-bucketed labels (+ label noise)."""
+    F, C = cfg.max_features, cfg.max_classes
+    n = n_ctx + n_qry
+    x = np.zeros((batch, n, F), np.float32)
+    y = np.zeros((batch, n), np.int64)
+    for b in range(batch):
+        f = int(rng.integers(3, max(4, F // 2) + 1))
+        c = int(rng.integers(2, min(C, 6) + 1))
+        kind = rng.random()
+        if kind < 0.35:
+            # cluster prior: class-conditional gaussians with random
+            # separation (covers the "shifted means" regime of clinical
+            # tables)
+            sep = rng.uniform(0.5, 3.0)
+            centers = rng.normal(size=(c, f)).astype(np.float32) * sep
+            lab = rng.integers(0, c, n)
+            xs = centers[lab] + rng.normal(size=(n, f)).astype(np.float32)
+        else:
+            # function prior: random shallow MLP score, quantile-bucketed
+            xs = rng.normal(size=(n, f)).astype(np.float32)
+            n_cat = int(rng.integers(0, max(1, f // 3) + 1))
+            for j in rng.choice(f, n_cat, replace=False):
+                xs[:, j] = np.digitize(xs[:, j], [-0.5, 0.5]).astype(np.float32)
+            h1 = np.tanh(xs @ rng.normal(size=(f, 8)).astype(np.float32)
+                         + rng.normal(size=8).astype(np.float32))
+            score = (h1 @ rng.normal(size=8).astype(np.float32)
+                     + 0.3 * xs @ rng.normal(size=f).astype(np.float32))
+            qs = np.quantile(score, np.linspace(0, 1, c + 1)[1:-1])
+            lab = np.digitize(score, qs)
+        flip = rng.random(lab.shape) < 0.05
+        lab = np.where(flip, rng.integers(0, c, n), lab)
+        x[b, :, :f] = xs
+        y[b] = lab
+    return {
+        "x_ctx": x[:, :n_ctx], "y_ctx": y[:, :n_ctx].astype(np.int32),
+        "ctx_mask": np.ones((batch, n_ctx), np.float32),
+        "x_qry": x[:, n_ctx:], "y_qry": y[:, n_ctx:].astype(np.int32),
+    }
+
+
+def _zscore_by_ctx(x_ctx, x_qry, ctx_mask):
+    denom = jnp.maximum(ctx_mask.sum(1, keepdims=True), 1.0)[..., None]
+    mean = (x_ctx * ctx_mask[..., None]).sum(1, keepdims=True) / denom
+    var = (((x_ctx - mean) ** 2) * ctx_mask[..., None]).sum(1, keepdims=True) / denom
+    std = jnp.sqrt(var + 1e-6)
+    return (x_ctx - mean) / std * ctx_mask[..., None], (x_qry - mean) / std
+
+
+def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
+                 batch: int = 32, n_ctx: int = 96, n_qry: int = 32,
+                 lr: float = 3e-4, seed: int = 0, verbose: bool = False):
+    """Meta-train the prior-fitted network on synthetic tasks; returns
+    (params, cfg). One jit'd step; host prior sampling overlaps device
+    compute via simple lookahead."""
+    model = ICLTransformer(cfg)
+    rng = np.random.default_rng(seed)
+    t0 = sample_tasks(rng, batch, cfg, n_ctx, n_qry)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.asarray(t0["x_ctx"]), jnp.asarray(t0["y_ctx"]),
+                        jnp.asarray(t0["ctx_mask"]), jnp.asarray(t0["x_qry"]))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(optax.cosine_decay_schedule(lr, steps)))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, task):
+        def loss_fn(p):
+            xc, xq = _zscore_by_ctx(task["x_ctx"], task["x_qry"],
+                                    task["ctx_mask"])
+            logits, _, _ = model.apply(p, xc, task["y_ctx"],
+                                       task["ctx_mask"], xq)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(
+                logp, task["y_qry"][..., None].astype(jnp.int32), axis=-1)
+            return nll.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        task = {k: jnp.asarray(v) for k, v in
+                sample_tasks(rng, batch, cfg, n_ctx, n_qry).items()}
+        params, opt_state, loss = step(params, opt_state, task)
+        if verbose and (i + 1) % max(1, steps // 10) == 0:
+            print(f"[icl pretrain] step {i + 1}/{steps} loss {float(loss):.4f}")
+    return params, cfg
+
+
+class ICLClassifier:
+    """sklearn-style estimator over the prior-fitted network.
+
+    Implements the interface surface the reference uses from
+    TabPFNClassifier: fit / predict / predict_proba / get_embeddings
+    (get_embeddings returns (n_estimators=1, n, d) like TabPFN v2 so the
+    embedding harness's `[0]` indexing works — reference tabel_test.py:70).
+    """
+
+    def __init__(self, params=None, cfg: ICLConfig | None = None,
+                 pretrain_steps: int = 300, seed: int = 0):
+        self.cfg = cfg or ICLConfig()
+        self._params = params
+        self._pretrain_steps = pretrain_steps
+        self._seed = seed
+        self.model = ICLTransformer(self.cfg)
+        self._fitted = None
+
+    def _ensure_params(self):
+        if self._params is None:
+            self._params, _ = pretrain_icl(
+                self.cfg, steps=self._pretrain_steps, seed=self._seed)
+        return self._params
+
+    def _pad_features(self, X):
+        X = np.asarray(X, np.float32)
+        X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+        F = self.cfg.max_features
+        if X.shape[1] > F:
+            raise ValueError(
+                f"{X.shape[1]} features > max_features={F}; raise ICLConfig.max_features")
+        return np.pad(X, ((0, 0), (0, F - X.shape[1])))
+
+    def fit(self, X, y):
+        X = self._pad_features(X)
+        y = np.asarray(y)
+        self.classes_, y_idx = np.unique(y, return_inverse=True)
+        if len(self.classes_) > self.cfg.max_classes:
+            raise ValueError(
+                f"{len(self.classes_)} classes > max_classes={self.cfg.max_classes}"
+                " — wrap with ManyClassClassifier")
+        n_max = self.cfg.max_context
+        if len(X) > n_max:  # subsample context (class-stratified would be
+            rng = np.random.default_rng(self._seed)  # nicer; uniform is fine)
+            sel = rng.choice(len(X), n_max, replace=False)
+            X, y_idx = X[sel], y_idx[sel]
+        pad = n_max - len(X)
+        self._fitted = {
+            "x_ctx": np.pad(X, ((0, pad), (0, 0)))[None],
+            "y_ctx": np.pad(y_idx, (0, pad)).astype(np.int32)[None],
+            "ctx_mask": np.pad(np.ones(len(X), np.float32), (0, pad))[None],
+        }
+        return self
+
+    @functools.cached_property
+    def _forward(self):
+        model = self.model
+
+        @jax.jit
+        def fwd(params, x_ctx, y_ctx, ctx_mask, x_qry):
+            xc, xq = _zscore_by_ctx(x_ctx, x_qry, ctx_mask)
+            return model.apply(params, xc, y_ctx, ctx_mask, xq)
+
+        return fwd
+
+    def _run(self, X):
+        if self._fitted is None:
+            raise RuntimeError("fit() first")
+        params = self._ensure_params()
+        Xq = self._pad_features(X)[None]
+        logits, q_emb, c_emb = self._forward(
+            params, jnp.asarray(self._fitted["x_ctx"]),
+            jnp.asarray(self._fitted["y_ctx"]),
+            jnp.asarray(self._fitted["ctx_mask"]), jnp.asarray(Xq))
+        return np.asarray(logits[0]), np.asarray(q_emb[0])
+
+    def predict_proba(self, X):
+        logits, _ = self._run(X)
+        k = len(self.classes_)
+        logits = logits[:, :k]
+        e = np.exp(logits - logits.max(1, keepdims=True))
+        return e / e.sum(1, keepdims=True)
+
+    def predict(self, X):
+        return self.classes_[np.argmax(self.predict_proba(X), axis=1)]
+
+    def get_embeddings(self, X, data_source: str = "test"):
+        """(1, n, d_model) — TabPFN v2 get_embeddings shape contract."""
+        _, emb = self._run(X)
+        return emb[None]

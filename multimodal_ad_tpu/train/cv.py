@@ -14,6 +14,7 @@ function parameterized by config.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -29,10 +30,12 @@ from ..data.transforms import make_transforms
 from ..models.resnet3d import generate_model
 from ..parallel.mesh import make_mesh, replicate
 from ..utils.logging import CVLogger
+from ..utils.profiling import StepTimer, trace
 from . import checkpoint as ckpt
 from .loop import (create_train_state, make_epoch_schedule, make_eval_step,
                    make_train_step, next_epoch)
-from .metrics import calculate_metrics, model_selection_score
+from .metrics import (calculate_metrics, calculate_metrics_multiclass,
+                      model_selection_score)
 
 
 def class_weight_vector(labels, num_classes: int) -> np.ndarray:
@@ -42,24 +45,40 @@ def class_weight_vector(labels, num_classes: int) -> np.ndarray:
 
 
 def _run_epoch(step_fn, state, loader, mesh, *, train, class_weights=None,
-               dropout_rng=None, prefetch_depth=2):
-    """One pass over `loader`; returns (state, mean_loss, metrics)."""
-    losses, y_true, y_pred, y_score = [], [], [], []
-    for batch in device_prefetch(iter(loader), mesh, depth=prefetch_depth):
-        subjects = batch.pop("subject")
-        if train:
-            state, loss, probs = step_fn(state, batch, class_weights, dropout_rng)
-        else:
-            loss, probs = step_fn(state, batch)
-        probs = np.asarray(probs)
+               dropout_rng=None, prefetch_depth=2, timer=None):
+    """One pass over `loader`; returns (state, mean_loss, metrics).
+
+    Device-resident loaders (HBM cache) bypass the host->HBM prefetch stage;
+    streaming loaders get the double-buffered sharded device_put wrapper.
+    """
+    if getattr(loader, "device_resident", False):
+        batches = iter(loader)
+    else:
+        batches = device_prefetch(iter(loader), mesh, depth=prefetch_depth)
+
+    losses, y_true, y_pred, y_prob = [], [], [], []
+    for batch in batches:
+        batch = dict(batch)
+        batch.pop("subject", None)
+        ctx = timer if timer is not None else contextlib.nullcontext()
+        with ctx:
+            if train:
+                state, loss, probs = step_fn(state, batch, class_weights,
+                                             dropout_rng)
+            else:
+                loss, probs = step_fn(state, batch)
+            probs = np.asarray(probs)
         mask = np.asarray(batch["mask"]) > 0
         labels = np.asarray(batch["label"])
         losses.append(float(loss))
         y_true.extend(labels[mask].tolist())
         y_pred.extend(np.argmax(probs, axis=-1)[mask].tolist())
-        y_score.extend(probs[mask, 1].tolist())
-        del subjects
-    metrics = calculate_metrics(y_true, y_pred, y_score)
+        y_prob.extend(probs[mask].tolist())
+    y_prob = np.asarray(y_prob)
+    if y_prob.shape[-1] == 2:
+        metrics = calculate_metrics(y_true, y_pred, y_prob[:, 1])
+    else:
+        metrics = calculate_metrics_multiclass(y_true, y_pred, y_prob)
     return state, float(np.mean(losses)), metrics
 
 
@@ -80,6 +99,22 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
                                cfg.augment, verbose=verbose).data_dict
     tr_val, test_data = stratified_test_split(records, cfg.split_ratio, cfg.seed)
 
+    device_ds = None
+    subj_to_idx = {}
+    if cfg.hbm_cache:
+        # one-time decode + upload of the training corpus; per-epoch batches
+        # are gathered on device and never touch the host link
+        from ..data.device_cache import build_device_dataset
+
+        if cfg.augment and verbose:
+            print("[hbm_cache] augment not supported on the device-resident "
+                  "path yet; training without augmentation")
+        kw = {"loader": loader} if loader is not None else {}
+        device_ds = build_device_dataset(tr_val, mesh=mesh,
+                                         store_dtype=np.float32,
+                                         num_threads=cfg.loader_threads, **kw)
+        subj_to_idx = {r["Subject"]: i for i, r in enumerate(tr_val)}
+
     logger = CVLogger(cfg.checkpoint_dir)
     tf_train, tf_eval = make_transforms(cfg.augment, seed=cfg.seed)
     schedule = make_epoch_schedule(cfg.lr, cfg.num_epochs, cfg.warmup_frac,
@@ -93,15 +128,43 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
     for fold, train_data, val_data in stratified_kfold(tr_val, cfg.n_splits, cfg.seed):
         if verbose:
             print(f"\n=== Fold {fold}/{cfg.n_splits} ===")
-        loader_tr = VolumeBatcher(train_data, tf_train, shuffle=True,
-                                  seed=cfg.seed + fold, **batcher_kw)
-        loader_vl = VolumeBatcher(val_data, tf_eval, shuffle=False, **batcher_kw)
+        if device_ds is not None:
+            from ..data.device_cache import DeviceEpochIterator
+
+            subjects = [r["Subject"] for r in tr_val]
+            loader_tr = DeviceEpochIterator(
+                device_ds, [subj_to_idx[r["Subject"]] for r in train_data],
+                cfg.batch_size, shuffle=True, seed=cfg.seed + fold,
+                subjects=subjects)
+            loader_vl = DeviceEpochIterator(
+                device_ds, [subj_to_idx[r["Subject"]] for r in val_data],
+                cfg.batch_size, subjects=subjects)
+        else:
+            loader_tr = VolumeBatcher(train_data, tf_train, shuffle=True,
+                                      seed=cfg.seed + fold, **batcher_kw)
+            loader_vl = VolumeBatcher(val_data, tf_eval, shuffle=False,
+                                      **batcher_kw)
 
         model = model_factory()
         rng = jax.random.PRNGKey(cfg.seed + fold)
         sample = next(iter(VolumeBatcher(train_data[:1], tf_eval, **batcher_kw)))
         state = create_train_state(model, rng, sample, schedule,
                                    cfg.weight_decay, cfg.grad_clip_norm, "adam")
+        if cfg.pretrain_path and os.path.isfile(cfg.pretrain_path):
+            # MedicalNet partial transfer by key intersection
+            # (reference train_ResNet3D.py:74-81)
+            from ..utils.torch_weights import (load_medicalnet_weights,
+                                               load_torch_state_dict)
+            sd = load_torch_state_dict(cfg.pretrain_path)
+            merged, _ = load_medicalnet_weights(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                sd, cfg.model_depth, cfg.resnet_shortcut, verbose=verbose)
+            state = state.replace(params=merged["params"],
+                                  batch_stats=merged["batch_stats"])
+            if verbose:
+                print("Loaded pretrained weights.")
+        elif cfg.pretrain_path and verbose:
+            print(f"[Warning] no pretrained file at {cfg.pretrain_path}")
         state = replicate(state, mesh)
         cw = replicate(jnp.asarray(
             class_weight_vector([d["label"] for d in train_data], cfg.nb_class)),
@@ -110,12 +173,18 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
 
         best_metric = -np.inf
         best_path = os.path.join(cfg.checkpoint_dir, f"best_fold{fold}")
+        step_timer = StepTimer()
         for epoch in range(1, cfg.num_epochs + 1):
             t0 = time.time()
-            state, tr_loss, tr_m = _run_epoch(
-                train_step, state, loader_tr, mesh, train=True,
-                class_weights=cw, dropout_rng=dropout_rng,
-                prefetch_depth=cfg.prefetch_depth)
+            # profile the steady-state epoch (2nd — past compilation)
+            prof = trace(cfg.profile_dir) if (
+                cfg.profile_dir and fold == 1 and epoch == 2
+            ) else contextlib.nullcontext()
+            with prof:
+                state, tr_loss, tr_m = _run_epoch(
+                    train_step, state, loader_tr, mesh, train=True,
+                    class_weights=cw, dropout_rng=dropout_rng,
+                    prefetch_depth=cfg.prefetch_depth, timer=step_timer)
             _, vl_loss, vl_m = _run_epoch(
                 eval_step, state, loader_vl, mesh, train=False,
                 prefetch_depth=cfg.prefetch_depth)
@@ -141,6 +210,11 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
                              "epoch": epoch},
                     config=cfg.to_dict())
 
+        if verbose and step_timer.times:
+            st = step_timer.summary()
+            print(f"Fold{fold} train-step timing: mean={st['mean_s']*1000:.1f}ms "
+                  f"p50={st['p50_s']*1000:.1f}ms p95={st['p95_s']*1000:.1f}ms "
+                  f"({st['steps']} steps)")
         ckpt.save_checkpoint(
             os.path.join(cfg.checkpoint_dir, f"model_fold{fold}_final"), state,
             metrics={"train_auc": tr_m["AUC"], "val_auc": vl_m["AUC"],

@@ -1,0 +1,82 @@
+"""CLI entry points driven end-to-end on miniature data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def write_cfg(tmp_path, adni_dir, **overrides):
+    cfg = {
+        "label_file": adni_dir["label_file"],
+        "mri_dir": adni_dir["mri_dir"],
+        "task": "ADCN",
+        "num_epochs": 1,
+        "batch_size": 8,
+        "lr": 1e-3,
+        "n_splits": 2,
+        "model_depth": 10,
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "compute_dtype": "float32",
+        "loader_threads": 2,
+        "input_W": adni_dir["shape"][0],
+        "input_H": adni_dir["shape"][1],
+        "input_D": adni_dir["shape"][2],
+    }
+    cfg.update(overrides)
+    path = str(tmp_path / "config.json")
+    json.dump(cfg, open(path, "w"))
+    return path
+
+
+@pytest.mark.slow
+class TestCLIs:
+    def test_train_then_evaluate(self, adni_dir, tmp_path, mesh8):
+        from multimodal_ad_tpu.cli.evaluate import main as eval_main
+        from multimodal_ad_tpu.cli.train_resnet3d import main as train_main
+
+        cfg = write_cfg(tmp_path, adni_dir)
+        results = train_main(["--config", cfg])
+        assert "avg" in results
+        results2 = eval_main(["--config", cfg])
+        assert results2["avg"].keys() == results["avg"].keys()
+
+    def test_train_unet_cli(self, adni_dir, tmp_path, mesh8):
+        from multimodal_ad_tpu.cli.train_unet3d import main
+
+        cfg = write_cfg(tmp_path, adni_dir, batch_size=8)
+        best = main(["--config", cfg, "model_depth=10"])
+        assert np.isfinite(best)
+        assert os.path.isdir(str(tmp_path / "ckpt" / "best_model"))
+
+    def test_extract_features_cli(self, adni_dir, tmp_path, mesh8):
+        from multimodal_ad_tpu.cli.extract_features import main
+        from multimodal_ad_tpu.data.synthetic import make_atlas
+        from multimodal_ad_tpu.utils import nifti
+
+        atlas = make_atlas(adni_dir["shape"], n_rois=3, seed=0)
+        nii = str(tmp_path / "atlas.nii")
+        nifti.save(nii, atlas.astype(np.int16))
+        cfg = write_cfg(tmp_path, adni_dir)
+        out = str(tmp_path / "out")
+        main(["--config", cfg, "--atlas", nii, "--out", out])
+        assert os.path.isfile(os.path.join(out, "features.csv"))
+        assert os.path.isfile(os.path.join(out, "roi_features.csv"))
+
+    def test_tabular_embed_cli(self, clinical_table, tmp_path):
+        from multimodal_ad_tpu.cli.tabular_embed import main
+
+        acc = main(["--table", clinical_table, "--label-col", "Group",
+                    "--classes", "CN", "AD", "--n-fold", "2",
+                    "--train-out", str(tmp_path / "tr.csv"),
+                    "--test-out", str(tmp_path / "te.csv"),
+                    "--pretrain-steps", "60"])
+        assert 0.0 <= acc <= 1.0
+
+    def test_pvalue_cli(self, capsys):
+        from multimodal_ad_tpu.cli.pvalue import main
+
+        out = main(["--a", "0.9", "0.91", "0.92", "--b", "0.95", "0.96", "0.97"])
+        assert out["t_p"] < 0.05
+        assert "wilcoxon" in capsys.readouterr().out

@@ -1,0 +1,110 @@
+"""HBM-resident dataset cache + device-resident training path."""
+
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.data.device_cache import (DeviceDataset,
+                                                 DeviceEpochIterator,
+                                                 build_device_dataset)
+
+
+class TestDeviceDataset:
+    def test_gather(self, rng):
+        vols = rng.normal(size=(10, 6, 6, 6, 1)).astype(np.float32)
+        labels = np.arange(10) % 2
+        ds = DeviceDataset(vols, labels)
+        b = ds.gather(np.array([3, 7], np.int32))
+        assert b["image"].shape == (2, 6, 6, 6, 1)
+        np.testing.assert_array_equal(np.asarray(b["label"]), [1, 1])
+
+    def test_int16_store_halves_bytes(self, rng):
+        vols = rng.integers(0, 4000, size=(4, 6, 6, 6, 1)).astype(np.int16)
+        ds = DeviceDataset(vols, np.zeros(4), store_dtype=np.int16)
+        assert ds.volumes.dtype == np.int16
+
+    def test_epoch_iterator_padding_and_masks(self, rng):
+        vols = rng.normal(size=(7, 6, 6, 6, 1)).astype(np.float32)
+        ds = DeviceDataset(vols, np.arange(7) % 2)
+        it = DeviceEpochIterator(ds, np.arange(7), batch_size=4)
+        batches = list(it)
+        assert len(batches) == 2
+        assert np.asarray(batches[0]["mask"]).sum() == 4
+        assert np.asarray(batches[1]["mask"]).sum() == 3
+        assert batches[0]["image"].shape == (4, 6, 6, 6, 1)
+        # normalization applied on device: per-sample [0, 1]
+        img = np.asarray(batches[0]["image"])
+        assert img.min() >= 0.0 and img.max() <= 1.0
+
+    def test_epoch_iterator_reshuffles(self, rng):
+        vols = rng.normal(size=(8, 4, 4, 4, 1)).astype(np.float32)
+        ds = DeviceDataset(vols, np.arange(8))
+        it = DeviceEpochIterator(ds, np.arange(8), batch_size=8, shuffle=True,
+                                 seed=3)
+        e1 = np.asarray(next(iter(it))["label"]).tolist()
+        e2 = np.asarray(next(iter(it))["label"]).tolist()
+        assert sorted(e1) == sorted(e2) == list(range(8))
+        assert e1 != e2
+
+    def test_build_from_manifest(self, adni_dir, mesh8):
+        from multimodal_ad_tpu.data.adni import ADNIManifest
+
+        m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
+                         verbose=False)
+        ds = build_device_dataset(m.data_dict[:4], mesh=mesh8,
+                                  store_dtype=np.float32, num_threads=2)
+        assert ds.n == 4
+        assert ds.volumes.shape == (4, *adni_dir["shape"], 1)
+
+
+@pytest.mark.slow
+class TestHBMTraining:
+    def test_cv_with_hbm_cache(self, adni_dir, tmp_path, mesh8):
+        from multimodal_ad_tpu.core.config import Config
+        from multimodal_ad_tpu.train.cv import train_cv
+
+        cfg = Config(
+            label_file=adni_dir["label_file"], mri_dir=adni_dir["mri_dir"],
+            task="ADCN", num_epochs=2, batch_size=8, lr=1e-3, n_splits=2,
+            model_depth=10, checkpoint_dir=str(tmp_path / "ckpt"),
+            compute_dtype="float32", loader_threads=2, hbm_cache=True)
+        results, ckpt_dir = train_cv(cfg, mesh=mesh8, verbose=False)
+        assert 0.0 <= results["avg"]["ACC"] <= 1.0
+        assert len(results["per_fold"]) == 2
+
+    def test_hbm_matches_streaming_eval(self, adni_dir, mesh8):
+        """Same model state must produce identical eval metrics through the
+        HBM-resident and streaming input paths (normalization parity)."""
+        import jax
+
+        from multimodal_ad_tpu.data.adni import ADNIManifest
+        from multimodal_ad_tpu.data.pipeline import VolumeBatcher
+        from multimodal_ad_tpu.data.transforms import VolumeTransform
+        from multimodal_ad_tpu.models.resnet3d import generate_model
+        from multimodal_ad_tpu.parallel.mesh import replicate
+        from multimodal_ad_tpu.train.cv import _run_epoch
+        from multimodal_ad_tpu.train.loop import (create_train_state,
+                                                  make_eval_step)
+        import jax.numpy as jnp
+
+        m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
+                         verbose=False)
+        recs = m.data_dict[:8]
+        model = generate_model(model_depth=10, compute_dtype=jnp.float32)
+        tf = VolumeTransform(augment=False)
+        stream = VolumeBatcher(recs, tf, batch_size=8, num_threads=2)
+        sample = next(iter(stream))
+        state = create_train_state(model, jax.random.PRNGKey(0), sample,
+                                   lambda e: 1e-3)
+        state = replicate(state, mesh8)
+        eval_step = make_eval_step()
+
+        _, loss_s, m_s = _run_epoch(eval_step, state, stream, mesh8, train=False)
+
+        ds = build_device_dataset(recs, mesh=mesh8, store_dtype=np.float32,
+                                  num_threads=2)
+        hbm = DeviceEpochIterator(ds, np.arange(8), batch_size=8)
+        _, loss_h, m_h = _run_epoch(eval_step, state, hbm, mesh8, train=False)
+
+        assert loss_s == pytest.approx(loss_h, rel=1e-4)
+        assert m_s["ACC"] == m_h["ACC"]
+        assert m_s["AUC"] == pytest.approx(m_h["AUC"], abs=1e-6)

@@ -1,0 +1,207 @@
+"""Tabular branch: ICL transformer, OoF embeddings, pipelines, many-class."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.tabular.embedding import OoFEmbedding
+from multimodal_ad_tpu.tabular.icl import (ICLClassifier, ICLConfig,
+                                           ICLTransformer, pretrain_icl,
+                                           sample_tasks)
+from multimodal_ad_tpu.tabular.many_class import ManyClassClassifier
+
+TINY = ICLConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64,
+                 max_features=16, max_classes=4, max_context=64)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    params, _ = pretrain_icl(TINY, steps=400, batch=16, n_ctx=48, n_qry=16,
+                             lr=1e-3, seed=0)
+    return params
+
+
+def separable_data(n=80, f=6, seed=0):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 2, n)
+    X = rng.normal(size=(n, f)).astype(np.float32) + 2.5 * y[:, None]
+    return X, y
+
+
+class TestICLModel:
+    def test_forward_shapes(self):
+        import jax
+        import jax.numpy as jnp
+
+        model = ICLTransformer(TINY)
+        rng = np.random.default_rng(0)
+        xc = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float32)
+        yc = jnp.zeros((2, 8), jnp.int32)
+        mask = jnp.ones((2, 8))
+        xq = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), xc, yc, mask, xq)
+        logits, q_emb, c_emb = model.apply(params, xc, yc, mask, xq)
+        assert logits.shape == (2, 5, 4)
+        assert q_emb.shape == (2, 5, 32)
+        assert c_emb.shape == (2, 8, 32)
+
+    def test_query_independence(self, tiny_params):
+        """Queries must not attend to each other: prediction for a query is
+        unchanged by the other queries in the batch."""
+        import jax.numpy as jnp
+
+        model = ICLTransformer(TINY)
+        rng = np.random.default_rng(1)
+        xc = jnp.asarray(rng.normal(size=(1, 10, 16)), jnp.float32)
+        yc = jnp.asarray(rng.integers(0, 2, (1, 10)), jnp.int32)
+        mask = jnp.ones((1, 10))
+        q1 = jnp.asarray(rng.normal(size=(1, 1, 16)), jnp.float32)
+        q2 = jnp.asarray(rng.normal(size=(1, 3, 16)), jnp.float32)
+        solo, _, _ = model.apply(tiny_params, xc, yc, mask, q1)
+        joint, _, _ = model.apply(tiny_params, xc, yc, mask,
+                                  jnp.concatenate([q1, q2], axis=1))
+        np.testing.assert_allclose(np.asarray(solo[0, 0]),
+                                   np.asarray(joint[0, 0]), atol=1e-4)
+
+    def test_context_mask_hides_padding(self, tiny_params):
+        import jax.numpy as jnp
+
+        model = ICLTransformer(TINY)
+        rng = np.random.default_rng(2)
+        xc = jnp.asarray(rng.normal(size=(1, 8, 16)), jnp.float32)
+        yc = jnp.asarray(rng.integers(0, 2, (1, 8)), jnp.int32)
+        xq = jnp.asarray(rng.normal(size=(1, 2, 16)), jnp.float32)
+        mask = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]], jnp.float32)
+        a, _, _ = model.apply(tiny_params, xc, yc, mask, xq)
+        # garbage in the masked rows must not change outputs
+        xc2 = xc.at[:, 4:].set(1e3)
+        yc2 = yc.at[:, 4:].set(3)
+        b, _, _ = model.apply(tiny_params, xc2, yc2, mask, xq)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_prior_sampler_shapes(self):
+        t = sample_tasks(np.random.default_rng(0), 4, TINY, 12, 6)
+        assert t["x_ctx"].shape == (4, 12, 16)
+        assert t["y_qry"].shape == (4, 6)
+        assert t["y_ctx"].max() < TINY.max_classes
+
+
+@pytest.mark.slow
+class TestICLClassifier:
+    def test_learns_separable_task(self, tiny_params):
+        X, y = separable_data(n=90, f=6, seed=3)
+        clf = ICLClassifier(params=tiny_params, cfg=TINY)
+        clf.fit(X[:60], y[:60])
+        acc = (clf.predict(X[60:]) == y[60:]).mean()
+        assert acc >= 0.85, f"in-context accuracy too low: {acc}"
+
+    def test_proba_shape_and_labels(self, tiny_params):
+        X, y = separable_data(seed=4)
+        y = np.where(y == 1, 7, 3)  # non-contiguous labels
+        clf = ICLClassifier(params=tiny_params, cfg=TINY).fit(X, y)
+        p = clf.predict_proba(X[:5])
+        assert p.shape == (5, 2)
+        np.testing.assert_allclose(p.sum(1), 1.0, rtol=1e-5)
+        assert set(clf.predict(X[:5])) <= {3, 7}
+
+    def test_embeddings_contract(self, tiny_params):
+        X, y = separable_data(seed=5)
+        clf = ICLClassifier(params=tiny_params, cfg=TINY).fit(X, y)
+        emb = clf.get_embeddings(X[:7])
+        assert emb.shape == (1, 7, TINY.d_model)
+
+    def test_too_many_features_raises(self, tiny_params):
+        clf = ICLClassifier(params=tiny_params, cfg=TINY)
+        with pytest.raises(ValueError, match="max_features"):
+            clf.fit(np.zeros((10, 40)), np.zeros(10))
+
+
+@pytest.mark.slow
+class TestOoFEmbedding:
+    def test_vanilla_and_oof_shapes(self, tiny_params):
+        X, y = separable_data(n=60, seed=6)
+        Xte, _ = separable_data(n=20, seed=7)
+        clf = ICLClassifier(params=tiny_params, cfg=TINY)
+
+        # vanilla mode embeds the third argument (X) regardless of
+        # data_source — reference tabpfn_embedding.py:124-126 semantics
+        emb0 = OoFEmbedding(clf, n_fold=0)
+        tr0 = emb0.get_embeddings(X, y, Xte, data_source="train")
+        assert tr0.shape == (1, 20, TINY.d_model)
+
+        emb5 = OoFEmbedding(clf, n_fold=3)
+        tr5 = emb5.get_embeddings(X, y, Xte, data_source="train")
+        te5 = emb5.get_embeddings(X, y, Xte, data_source="test")
+        assert tr5.shape == (1, 60, TINY.d_model)  # concat of 3 folds
+        assert te5.shape == (1, 20, TINY.d_model)
+
+    def test_nfold_one_rejected(self, tiny_params):
+        emb = OoFEmbedding(ICLClassifier(params=tiny_params, cfg=TINY), n_fold=1)
+        with pytest.raises(ValueError):
+            emb.get_embeddings(np.zeros((4, 2)), np.zeros(4), np.zeros((2, 2)),
+                               data_source="train")
+
+    def test_no_model(self):
+        with pytest.raises(ValueError):
+            OoFEmbedding(None, 0).get_embeddings(
+                np.zeros((2, 2)), np.zeros(2), np.zeros((2, 2)), "train")
+
+
+@pytest.mark.slow
+class TestPipelines:
+    def test_tabel_encoder_multi_csv_schema(self, clinical_table, tmp_path,
+                                            tiny_params):
+        from multimodal_ad_tpu.tabular.pipeline import (
+            embedding_downstream_eval, quick_eval_from_saved,
+            tabel_encoder_multi)
+
+        cfg = ICLConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64,
+                        max_features=32, max_classes=4, max_context=64)
+        params, _ = pretrain_icl(cfg, steps=100, batch=8, n_ctx=32, n_qry=8)
+        clf = ICLClassifier(params=params, cfg=cfg)
+
+        tr_out = str(tmp_path / "train_emb.csv")
+        te_out = str(tmp_path / "test_emb.csv")
+        tabel_encoder_multi(clinical_table, label_col="Group",
+                            classes=["CN", "AD"], n_fold=2, test_size=0.3,
+                            train_out=tr_out, test_out=te_out, embedder=clf)
+        import pandas as pd
+        tr = pd.read_csv(tr_out)
+        assert tr.columns[0] == "label"
+        assert set(tr["label"]) <= {"CN", "AD"}  # original strings
+        assert tr.shape[1] == 1 + 32  # label + d_model dims
+
+        acc = quick_eval_from_saved(tr_out, te_out)
+        assert 0.0 <= acc <= 1.0
+        res = embedding_downstream_eval(tr_out, te_out)
+        assert "ACC" in res and "AUC" in res
+
+
+class TestManyClass:
+    def test_exceeds_alphabet(self):
+        from sklearn.linear_model import LogisticRegression
+
+        rng = np.random.default_rng(0)
+        k = 7
+        centers = rng.normal(size=(k, 5)) * 4
+        y = rng.integers(0, k, 300)
+        X = centers[y] + rng.normal(size=(300, 5)) * 0.3
+        clf = ManyClassClassifier(LogisticRegression(max_iter=500),
+                                  alphabet_size=3, random_state=0)
+        clf.fit(X[:200], y[:200])
+        assert clf.code_book_ is not None
+        assert clf.code_book_.shape[0] == k
+        acc = (clf.predict(X[200:]) == y[200:]).mean()
+        assert acc > 0.8
+        p = clf.predict_proba(X[200:])
+        np.testing.assert_allclose(p.sum(1), 1.0, rtol=1e-6)
+
+    def test_delegates_when_within_limit(self):
+        from sklearn.linear_model import LogisticRegression
+
+        X, y = separable_data()
+        clf = ManyClassClassifier(LogisticRegression(), alphabet_size=10)
+        clf.fit(X, y)
+        assert clf.code_book_ is None
+        assert clf.predict(X).shape == y.shape
