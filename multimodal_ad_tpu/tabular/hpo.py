@@ -1,0 +1,106 @@
+"""Hyperparameter-tuned in-context classifier (TunedTabPFN parity).
+
+Capability parity with reference models/tabpfn-extensions/src/
+tabpfn_extensions/hpo/tuned_tabpfn.py:75-547: search over the *inference*
+hyperparameters of a prior-fitted network (no gradient training), pick the
+best by CV metric, refit on the full data. The reference uses hyperopt TPE;
+this clean-room version uses seeded random search over an equivalent space
+(hyperopt is not in this image, and at these budget sizes random search is
+competitive).
+
+Search space (ICLClassifier inference knobs):
+- softmax_temperature, context_size, context subsample seed,
+- feature preprocessing: none (z-score is built in) or quantile-uniform.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.base import BaseEstimator, ClassifierMixin, clone
+from sklearn.model_selection import StratifiedKFold
+from sklearn.preprocessing import QuantileTransformer
+
+from .scoring import score_classification
+
+
+def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
+    return {
+        "softmax_temperature": float(rng.choice([0.5, 0.75, 1.0, 1.25, 1.5])),
+        "context_size": int(rng.choice(
+            [s for s in (64, 128, 256, 512) if s <= max(64, n_train)])),
+        "seed": int(rng.integers(0, 10_000)),
+        "quantile_transform": bool(rng.random() < 0.4),
+    }
+
+
+class TunedICLClassifier(ClassifierMixin, BaseEstimator):
+    def __init__(self, base_estimator=None, n_trials: int = 20,
+                 metric: str = "roc_auc", n_splits: int = 3,
+                 random_state: int = 0, verbose: bool = False):
+        self.base_estimator = base_estimator
+        self.n_trials = n_trials
+        self.metric = metric
+        self.n_splits = n_splits
+        self.random_state = random_state
+        self.verbose = verbose
+
+    def _make(self, trial: dict):
+        from .icl import ICLClassifier
+
+        est = (clone(self.base_estimator) if self.base_estimator is not None
+               else ICLClassifier())
+        est.set_params(softmax_temperature=trial["softmax_temperature"],
+                       context_size=trial["context_size"], seed=trial["seed"])
+        return est
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y)
+        self.classes_ = np.unique(y)
+        rng = np.random.default_rng(self.random_state)
+        best_score, best_trial = -np.inf, None
+        kf = StratifiedKFold(n_splits=self.n_splits, shuffle=True,
+                             random_state=self.random_state)
+
+        for t in range(self.n_trials):
+            trial = default_search_space(rng, len(X))
+            scores = []
+            for tr, vl in kf.split(X, y):
+                Xt, Xv = X[tr], X[vl]
+                if trial["quantile_transform"]:
+                    qt = QuantileTransformer(
+                        n_quantiles=min(64, len(tr)),
+                        output_distribution="normal",
+                        random_state=0)
+                    Xt = qt.fit_transform(Xt)
+                    Xv = qt.transform(Xv)
+                est = self._make(trial).fit(Xt, y[tr])
+                scores.append(score_classification(
+                    self.metric, y[vl], est.predict_proba(Xv)))
+            score = float(np.nanmean(scores))
+            if self.verbose:
+                print(f"[hpo] trial {t}: {trial} -> {score:.4f}")
+            if score > best_score:
+                best_score, best_trial = score, trial
+
+        self.best_params_ = best_trial
+        self.best_score_ = best_score
+        self._qt = None
+        Xf = X
+        if best_trial["quantile_transform"]:
+            self._qt = QuantileTransformer(
+                n_quantiles=min(64, len(X)), output_distribution="normal",
+                random_state=0)
+            Xf = self._qt.fit_transform(X)
+        self.best_estimator_ = self._make(best_trial).fit(Xf, y)
+        return self
+
+    def _transform(self, X):
+        X = np.asarray(X, np.float32)
+        return self._qt.transform(X) if self._qt is not None else X
+
+    def predict(self, X):
+        return self.best_estimator_.predict(self._transform(X))
+
+    def predict_proba(self, X):
+        return self.best_estimator_.predict_proba(self._transform(X))

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import linen as nn
+from sklearn.base import BaseEstimator, ClassifierMixin
 
 
 @dataclass(frozen=True)
@@ -211,34 +212,55 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
     return params, cfg
 
 
-class ICLClassifier:
-    """sklearn-style estimator over the prior-fitted network.
+class ICLClassifier(ClassifierMixin, BaseEstimator):
+    """sklearn estimator over the prior-fitted network.
 
     Implements the interface surface the reference uses from
     TabPFNClassifier: fit / predict / predict_proba / get_embeddings
     (get_embeddings returns (n_estimators=1, n, d) like TabPFN v2 so the
     embedding harness's `[0]` indexing works — reference tabel_test.py:70).
+    sklearn get_params/set_params/clone work, so the ensemble/HPO/RF-hybrid
+    wrappers compose with it. `softmax_temperature` and `context_size` are
+    the inference-time knobs the HPO searches.
+
+    Meta-trained weights are shared process-wide per (cfg, seed,
+    pretrain_steps) so clones don't re-pretrain.
     """
 
+    _param_cache: dict = {}
+
     def __init__(self, params=None, cfg: ICLConfig | None = None,
-                 pretrain_steps: int = 300, seed: int = 0):
-        self.cfg = cfg or ICLConfig()
-        self._params = params
-        self._pretrain_steps = pretrain_steps
-        self._seed = seed
-        self.model = ICLTransformer(self.cfg)
-        self._fitted = None
+                 pretrain_steps: int = 300, seed: int = 0,
+                 softmax_temperature: float = 1.0,
+                 context_size: int | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.pretrain_steps = pretrain_steps
+        self.seed = seed
+        self.softmax_temperature = softmax_temperature
+        self.context_size = context_size
+
+    @property
+    def _cfg(self) -> ICLConfig:
+        return self.cfg or ICLConfig()
+
+    @property
+    def model(self):
+        return ICLTransformer(self._cfg)
 
     def _ensure_params(self):
-        if self._params is None:
-            self._params, _ = pretrain_icl(
-                self.cfg, steps=self._pretrain_steps, seed=self._seed)
-        return self._params
+        if self.params is not None:
+            return self.params
+        key = (self._cfg, self.seed, self.pretrain_steps)
+        if key not in ICLClassifier._param_cache:
+            ICLClassifier._param_cache[key], _ = pretrain_icl(
+                self._cfg, steps=self.pretrain_steps, seed=self.seed)
+        return ICLClassifier._param_cache[key]
 
     def _pad_features(self, X):
         X = np.asarray(X, np.float32)
         X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
-        F = self.cfg.max_features
+        F = self._cfg.max_features
         if X.shape[1] > F:
             raise ValueError(
                 f"{X.shape[1]} features > max_features={F}; raise ICLConfig.max_features")
@@ -248,16 +270,18 @@ class ICLClassifier:
         X = self._pad_features(X)
         y = np.asarray(y)
         self.classes_, y_idx = np.unique(y, return_inverse=True)
-        if len(self.classes_) > self.cfg.max_classes:
+        if len(self.classes_) > self._cfg.max_classes:
             raise ValueError(
-                f"{len(self.classes_)} classes > max_classes={self.cfg.max_classes}"
+                f"{len(self.classes_)} classes > max_classes={self._cfg.max_classes}"
                 " — wrap with ManyClassClassifier")
-        n_max = self.cfg.max_context
+        n_max = self._cfg.max_context
+        if self.context_size is not None:
+            n_max = min(n_max, int(self.context_size))
         if len(X) > n_max:  # subsample context (class-stratified would be
-            rng = np.random.default_rng(self._seed)  # nicer; uniform is fine)
+            rng = np.random.default_rng(self.seed)  # nicer; uniform is fine)
             sel = rng.choice(len(X), n_max, replace=False)
             X, y_idx = X[sel], y_idx[sel]
-        pad = n_max - len(X)
+        pad = self._cfg.max_context - len(X)
         self._fitted = {
             "x_ctx": np.pad(X, ((0, pad), (0, 0)))[None],
             "y_ctx": np.pad(y_idx, (0, pad)).astype(np.int32)[None],
@@ -265,19 +289,25 @@ class ICLClassifier:
         }
         return self
 
-    @functools.cached_property
+    # one compiled forward per config, shared across instances/clones
+    _fwd_cache: dict = {}
+
+    @property
     def _forward(self):
-        model = self.model
+        cfg = self._cfg
+        if cfg not in ICLClassifier._fwd_cache:
+            model = ICLTransformer(cfg)
 
-        @jax.jit
-        def fwd(params, x_ctx, y_ctx, ctx_mask, x_qry):
-            xc, xq = _zscore_by_ctx(x_ctx, x_qry, ctx_mask)
-            return model.apply(params, xc, y_ctx, ctx_mask, xq)
+            @jax.jit
+            def fwd(params, x_ctx, y_ctx, ctx_mask, x_qry):
+                xc, xq = _zscore_by_ctx(x_ctx, x_qry, ctx_mask)
+                return model.apply(params, xc, y_ctx, ctx_mask, xq)
 
-        return fwd
+            ICLClassifier._fwd_cache[cfg] = fwd
+        return ICLClassifier._fwd_cache[cfg]
 
     def _run(self, X):
-        if self._fitted is None:
+        if getattr(self, "_fitted", None) is None:
             raise RuntimeError("fit() first")
         params = self._ensure_params()
         Xq = self._pad_features(X)[None]
@@ -290,7 +320,7 @@ class ICLClassifier:
     def predict_proba(self, X):
         logits, _ = self._run(X)
         k = len(self.classes_)
-        logits = logits[:, :k]
+        logits = logits[:, :k] / max(float(self.softmax_temperature), 1e-6)
         e = np.exp(logits - logits.max(1, keepdims=True))
         return e / e.sum(1, keepdims=True)
 

@@ -21,7 +21,7 @@ import numpy as np
 from sklearn.base import BaseEstimator, ClassifierMixin, clone
 
 
-class ManyClassClassifier(BaseEstimator, ClassifierMixin):
+class ManyClassClassifier(ClassifierMixin, BaseEstimator):
     def __init__(self, estimator=None, alphabet_size: int = 10,
                  n_estimators: int | None = None, random_state: int = 0):
         self.estimator = estimator

@@ -1,0 +1,214 @@
+"""Tabular extension suite: scoring, HPO, ensembles, unsupervised,
+RF/DT hybrids, interpretability."""
+
+import numpy as np
+import pytest
+from sklearn.linear_model import LogisticRegression
+
+from multimodal_ad_tpu.tabular.ensembles import (AutoICLClassifier,
+                                                 GreedyWeightedEnsemble,
+                                                 make_stacking_classifier,
+                                                 make_voting_classifier)
+from multimodal_ad_tpu.tabular.hpo import TunedICLClassifier
+from multimodal_ad_tpu.tabular.interpretability import (
+    feature_selection, marginal_contribution_values,
+    permutation_importance_values)
+from multimodal_ad_tpu.tabular.rf_icl import (DecisionTreeICLClassifier,
+                                              RandomForestICLClassifier)
+from multimodal_ad_tpu.tabular.scoring import (safe_roc_auc_score,
+                                               score_classification)
+from multimodal_ad_tpu.tabular.unsupervised import TabularUnsupervisedModel
+
+
+def clusters(n=200, f=5, k=2, sep=3.0, seed=0):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, k, n)
+    centers = rng.normal(size=(k, f)) * sep
+    X = (centers[y] + rng.normal(size=(n, f))).astype(np.float32)
+    return X, y
+
+
+class TestScoring:
+    def test_safe_auc_degenerate(self):
+        assert np.isnan(safe_roc_auc_score([1, 1, 1], [0.2, 0.3, 0.4]))
+        assert safe_roc_auc_score([0, 1], [0.1, 0.9]) == 1.0
+
+    def test_safe_auc_nan_scores(self):
+        v = safe_roc_auc_score([0, 1, 0, 1], [0.1, np.nan, 0.2, 0.9])
+        assert v == 1.0  # NaN row dropped
+
+    def test_multiclass_auc(self):
+        p = np.array([[0.8, 0.1, 0.1], [0.1, 0.8, 0.1], [0.1, 0.1, 0.8]])
+        assert safe_roc_auc_score([0, 1, 2], p) == 1.0
+
+    def test_score_classification_metrics(self):
+        p = np.array([[0.9, 0.1], [0.2, 0.8]])
+        y = [0, 1]
+        assert score_classification("accuracy", y, p) == 1.0
+        assert score_classification("roc_auc", y, p) == 1.0
+        assert score_classification("f1", y, [0, 1]) == 1.0
+        with pytest.raises(ValueError):
+            score_classification("nope", y, p)
+
+
+class TestGreedyEnsemble:
+    def test_prefers_good_model(self):
+        rng = np.random.default_rng(0)
+        y = rng.integers(0, 2, 100)
+        good = np.zeros((100, 2))
+        good[np.arange(100), y] = 0.9
+        good[np.arange(100), 1 - y] = 0.1
+        bad = rng.dirichlet([1, 1], 100)
+        ens = GreedyWeightedEnsemble(metric="roc_auc", n_rounds=10)
+        ens.fit([bad, good], y)
+        assert ens.weights_[1] > ens.weights_[0]
+        p = ens.predict_proba([bad, good])
+        assert p.shape == (100, 2)
+
+    def test_all_nan_degenerates_to_uniform(self):
+        y = np.ones(10, int)  # single class -> nan AUC
+        p = np.tile([0.5, 0.5], (10, 1))
+        ens = GreedyWeightedEnsemble(metric="roc_auc", n_rounds=3)
+        ens.fit([p, p], y)
+        np.testing.assert_allclose(ens.weights_.sum(), 1.0)
+
+
+class TestRFDT:
+    def test_dt_hybrid_beats_prior(self):
+        X, y = clusters(n=240, sep=2.0)
+        clf = DecisionTreeICLClassifier(LogisticRegression(max_iter=300),
+                                        max_depth=2)
+        clf.fit(X[:160], y[:160])
+        acc = (clf.predict(X[160:]) == y[160:]).mean()
+        assert acc > 0.85
+        p = clf.predict_proba(X[160:])
+        np.testing.assert_allclose(p.sum(1), 1.0, rtol=1e-6)
+
+    def test_small_leaves_fall_back_to_prior(self):
+        X, y = clusters(n=20)
+        clf = DecisionTreeICLClassifier(min_leaf_fit=100, max_depth=1)
+        clf.fit(X, y)
+        assert not clf.leaf_models_  # all leaves below threshold
+        assert clf.predict_proba(X).shape == (20, 2)
+
+    def test_forest(self):
+        X, y = clusters(n=240, sep=2.0, seed=1)
+        clf = RandomForestICLClassifier(LogisticRegression(max_iter=300),
+                                        n_estimators=3, max_depth=2)
+        clf.fit(X[:160], y[:160])
+        acc = (clf.predict(X[160:]) == y[160:]).mean()
+        assert acc > 0.85
+
+
+class TestUnsupervised:
+    @pytest.fixture(scope="class")
+    def fitted(self):
+        X, _ = clusters(n=300, f=4, sep=2.0, seed=2)
+        # correlate col 3 with col 0 so imputation has signal
+        X[:, 3] = X[:, 0] * 2.0 + 0.1 * np.random.default_rng(0).normal(size=300)
+        return TabularUnsupervisedModel(n_permutations=3).fit(X), X
+
+    def test_impute_recovers_correlated_column(self, fitted):
+        model, X = fitted
+        Xm = X[:50].copy()
+        truth = Xm[:, 3].copy()
+        Xm[:, 3] = np.nan
+        filled = model.impute(Xm)
+        err = np.abs(filled[:, 3] - truth).mean()
+        baseline = np.abs(X[:, 3].mean() - truth).mean()
+        assert err < 0.5 * baseline
+        # observed entries untouched
+        np.testing.assert_array_equal(filled[:, :3], Xm[:, :3])
+
+    def test_outliers_rank_extreme_points(self, fitted):
+        model, X = fitted
+        normal = X[:20]
+        weird = X[:20] + 15.0
+        s_norm = model.outliers(normal)
+        s_weird = model.outliers(weird)
+        assert s_weird.mean() > s_norm.mean() + 1.0
+
+    def test_generate_shapes_and_spread(self, fitted):
+        model, X = fitted
+        syn = model.generate_synthetic_data(80)
+        assert syn.shape == (80, X.shape[1])
+        assert np.isfinite(syn).all()
+        assert abs(syn[:, 0].mean() - X[:, 0].mean()) < 2.5
+
+    def test_embeddings(self, fitted):
+        model, X = fitted
+        emb = model.get_embeddings(X[:10])
+        assert emb.shape == (10, X.shape[1] * 3)
+
+
+class TestInterpretability:
+    def test_permutation_importance_finds_signal(self):
+        rng = np.random.default_rng(0)
+        n = 300
+        y = rng.integers(0, 2, n)
+        X = rng.normal(size=(n, 4)).astype(np.float32)
+        X[:, 2] += 3.0 * y  # only col 2 matters
+        clf = LogisticRegression(max_iter=300).fit(X, y)
+        imp = permutation_importance_values(clf, X, y, n_repeats=3)
+        assert imp.argmax() == 2
+        assert imp[2] > 0.2
+
+    def test_marginal_contributions(self):
+        rng = np.random.default_rng(0)
+        X, y = clusters(n=100, f=3)
+        clf = LogisticRegression(max_iter=300).fit(X, y)
+        mc = marginal_contribution_values(clf, X[:5])
+        assert mc.shape == (5, 3)
+
+    def test_feature_selection(self):
+        rng = np.random.default_rng(0)
+        n = 150
+        y = rng.integers(0, 2, n)
+        X = rng.normal(size=(n, 6)).astype(np.float32)
+        X[:, 1] += 2.5 * y
+        X[:, 4] += 2.5 * y
+        support, _ = feature_selection(LogisticRegression(max_iter=300), X, y,
+                                       n_features_to_select=2, cv=2)
+        assert support[1] and support[4]
+
+
+@pytest.mark.slow
+class TestICLWrappers:
+    """HPO + auto-ensemble over the actual in-context learner."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        from multimodal_ad_tpu.tabular.icl import ICLClassifier, ICLConfig, pretrain_icl
+
+        cfg = ICLConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64,
+                        max_features=16, max_classes=4, max_context=128)
+        params, _ = pretrain_icl(cfg, steps=250, batch=16, n_ctx=48, n_qry=16,
+                                 lr=1e-3, seed=0)
+        return ICLClassifier(params=params, cfg=cfg)
+
+    def test_tuned_icl(self, tiny):
+        X, y = clusters(n=150, f=6, sep=2.5, seed=3)
+        clf = TunedICLClassifier(base_estimator=tiny, n_trials=4, n_splits=2)
+        clf.fit(X[:100], y[:100])
+        assert clf.best_params_ is not None
+        acc = (clf.predict(X[100:]) == y[100:]).mean()
+        assert acc > 0.8
+
+    def test_auto_ensemble(self, tiny):
+        X, y = clusters(n=150, f=6, sep=2.5, seed=4)
+        clf = AutoICLClassifier(base_estimator=tiny, n_configs=3)
+        clf.fit(X[:100], y[:100])
+        assert len(clf.members_) >= 1
+        acc = (clf.predict(X[100:]) == y[100:]).mean()
+        assert acc > 0.8
+
+    def test_sklearn_meta_models(self, tiny):
+        X, y = clusters(n=120, f=6, sep=2.5, seed=5)
+        vc = make_voting_classifier(
+            [("icl", tiny), ("lr", LogisticRegression(max_iter=300))])
+        vc.fit(X[:80], y[:80])
+        assert (vc.predict(X[80:]) == y[80:]).mean() > 0.8
+        sc = make_stacking_classifier(
+            [("icl", tiny), ("lr", LogisticRegression(max_iter=300))], cv=2)
+        sc.fit(X[:80], y[:80])
+        assert (sc.predict(X[80:]) == y[80:]).mean() > 0.8
