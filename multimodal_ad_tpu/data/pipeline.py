@@ -42,7 +42,7 @@ class VolumeBatcher:
 
     def __init__(self, records, transform, batch_size, shuffle=False, seed=0,
                  num_threads=8, image_keys=("MRI",), drop_remainder=False,
-                 loader=load_volume):
+                 loader=load_volume, table_lookup=None):
         self.records = list(records)
         self.transform = transform
         self.batch_size = batch_size
@@ -52,6 +52,9 @@ class VolumeBatcher:
         self.image_keys = image_keys
         self.drop_remainder = drop_remainder
         self.loader = loader
+        # optional per-subject feature vector (e.g. tabular embedding)
+        # joined into each batch under 'table'
+        self.table_lookup = table_lookup
         self._epoch = 0
 
     def __len__(self):
@@ -99,6 +102,10 @@ class VolumeBatcher:
                 for k in self.image_keys[1:]:
                     batch[k.lower()] = np.stack(
                         [s[k] for s in samples]).astype(np.float32)
+                if self.table_lookup is not None:
+                    batch["table"] = np.stack(
+                        [np.asarray(self.table_lookup[s["Subject"]], np.float32)
+                         for s in samples])
                 batch["label"] = np.asarray([s["label"] for s in samples], np.int32)
                 subjects = [s["Subject"] for s in samples]
                 padded, mask = pad_to_multiple(

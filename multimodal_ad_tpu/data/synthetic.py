@@ -30,12 +30,17 @@ def make_volume(rng: np.random.Generator, shape=(91, 109, 91), label: int = 0):
 
 
 def make_adni_dir(root: str, n_per_class=4, classes=("AD", "CN"),
-                  shape=(24, 28, 24), seed: int = 0, gz: bool = False):
+                  shape=(24, 28, 24), seed: int = 0, gz: bool = False,
+                  pet: bool = False):
     """Write a miniature ADNI dataset: label CSV + per-subject NIfTI files.
-    Returns (label_csv_path, mri_dir)."""
+    Returns (label_csv_path, mri_dir) or (csv, mri_dir, pet_dir) with
+    pet=True."""
     rng = np.random.default_rng(seed)
     mri_dir = os.path.join(root, "MRI")
     os.makedirs(mri_dir, exist_ok=True)
+    pet_dir = os.path.join(root, "PET")
+    if pet:
+        os.makedirs(pet_dir, exist_ok=True)
     rows = []
     for ci, group in enumerate(classes):
         for k in range(n_per_class):
@@ -43,9 +48,14 @@ def make_adni_dir(root: str, n_per_class=4, classes=("AD", "CN"),
             vol = make_volume(rng, shape, label=ci)
             ext = ".nii.gz" if gz else ".nii"
             nifti.save(os.path.join(mri_dir, subject + ext), vol)
+            if pet:
+                pvol = make_volume(rng, shape, label=ci) * 0.5
+                nifti.save(os.path.join(pet_dir, subject + ext), pvol)
             rows.append({"Subject_ID": subject, "Group": group})
     csv_path = os.path.join(root, "labels.csv")
     pd.DataFrame(rows).to_csv(csv_path, index=False)
+    if pet:
+        return csv_path, mri_dir, pet_dir
     return csv_path, mri_dir
 
 

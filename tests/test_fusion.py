@@ -1,0 +1,96 @@
+"""Multimodal fusion training (MRI + PET + table)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.core.config import Config
+from multimodal_ad_tpu.data.adni import ADNIManifest
+from multimodal_ad_tpu.data.pipeline import VolumeBatcher
+from multimodal_ad_tpu.data.synthetic import make_adni_dir
+from multimodal_ad_tpu.data.transforms import VolumeTransform
+from multimodal_ad_tpu.train.fusion import embed_table_per_fold, train_fusion_cv
+
+SHAPE = (16, 16, 16)
+
+
+@pytest.fixture(scope="module")
+def fusion_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fusion"))
+    csv_path, mri_dir, pet_dir = make_adni_dir(
+        root, n_per_class=6, classes=("AD", "CN"), shape=SHAPE, seed=5,
+        pet=True)
+    return {"label_file": csv_path, "mri_dir": mri_dir, "pet_dir": pet_dir}
+
+
+def table_for(manifest):
+    rng = np.random.default_rng(0)
+    subjects = [r["Subject"] for r in manifest.data_dict]
+    y = np.asarray([r["label"] for r in manifest.data_dict])
+    X = (rng.normal(size=(len(subjects), 6)) + 1.5 * y[:, None]).astype(np.float32)
+    return X, y, subjects
+
+
+class TestMultimodalBatcher:
+    def test_pet_and_table_keys(self, fusion_dir):
+        m = ADNIManifest(fusion_dir["label_file"], fusion_dir["mri_dir"],
+                         "ADCN", pet_dir=fusion_dir["pet_dir"], verbose=False)
+        assert "PET" in m.data_dict[0]
+        table = {r["Subject"]: np.full(4, r["label"], np.float32)
+                 for r in m.data_dict}
+        b = VolumeBatcher(m.data_dict[:4], VolumeTransform(),
+                          batch_size=4, image_keys=("MRI", "PET"),
+                          table_lookup=table, num_threads=2)
+        batch = next(iter(b))
+        assert batch["image"].shape == (4, *SHAPE, 1)
+        assert batch["pet"].shape == (4, *SHAPE, 1)
+        assert batch["table"].shape == (4, 4)
+        np.testing.assert_array_equal(batch["table"][:, 0], batch["label"])
+
+
+class TestTableEmbedding:
+    def test_fold_embedding_no_crash_and_shape(self):
+        from sklearn.linear_model import LogisticRegression
+
+        class LogRegEmbedder(LogisticRegression):
+            def get_embeddings(self, X, data_source="test"):
+                return self.predict_proba(X)[None]
+
+        rng = np.random.default_rng(0)
+        subjects = [f"S{i}" for i in range(20)]
+        X = rng.normal(size=(20, 5)).astype(np.float32)
+        y = (np.arange(20) % 2)
+        lut = embed_table_per_fold(X, y, subjects, subjects[:12],
+                                   embedder=LogRegEmbedder(max_iter=200))
+        assert set(lut) == set(subjects)
+        assert lut["S0"].shape == (2,)
+
+
+@pytest.mark.slow
+class TestFusionTraining:
+    def test_mri_pet_table_cv(self, fusion_dir, tmp_path, mesh8):
+        from sklearn.linear_model import LogisticRegression
+
+        class LogRegEmbedder(LogisticRegression):
+            def get_embeddings(self, X, data_source="test"):
+                return self.predict_proba(X)[None]
+
+        m = ADNIManifest(fusion_dir["label_file"], fusion_dir["mri_dir"],
+                         "ADCN", pet_dir=fusion_dir["pet_dir"], verbose=False)
+        table_data = table_for(m)
+        cfg = Config(
+            label_file=fusion_dir["label_file"], mri_dir=fusion_dir["mri_dir"],
+            pet_dir=fusion_dir["pet_dir"], task="ADCN", num_epochs=2,
+            batch_size=8, lr=1e-3, n_splits=2,
+            checkpoint_dir=str(tmp_path / "ckpt"), compute_dtype="float32",
+            loader_threads=2)
+        best, ckpt_dir = train_fusion_cv(
+            cfg, use_pet=True, use_table=True, table_data=table_data,
+            model_kw=dict(dim=16, depth=1, heads=2, dim_head=8, mlp_dim=32),
+            records=m.data_dict, mesh=mesh8,
+            embedder=LogRegEmbedder(max_iter=200), verbose=False)
+        assert len(best) == 2
+        assert all(np.isfinite(b) for b in best)
+        assert os.path.isdir(os.path.join(ckpt_dir, "fusion_best_fold1"))
+        assert os.path.isfile(os.path.join(ckpt_dir, "fusion_results.csv"))
