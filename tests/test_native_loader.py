@@ -1,0 +1,87 @@
+"""Native (C++) NIfTI decoder: parity with the Python reader."""
+
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.utils import nifti
+from multimodal_ad_tpu.utils import native_loader as nl
+
+pytestmark = pytest.mark.skipif(not nl.available(),
+                                reason=f"native build: {nl.build_error()}")
+
+
+@pytest.fixture(scope="module")
+def vols(tmp_path_factory, ):
+    root = tmp_path_factory.mktemp("nat")
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i, (dtype, ext) in enumerate([(np.float32, ".nii"),
+                                      (np.int16, ".nii"),
+                                      (np.float32, ".nii.gz"),
+                                      (np.uint8, ".nii.gz")]):
+        shape = (9, 11, 10)
+        if np.issubdtype(dtype, np.integer):
+            a = rng.integers(0, 200, shape).astype(dtype)
+        else:
+            a = rng.normal(50, 20, shape).astype(dtype)
+        p = str(root / f"v{i}{ext}")
+        nifti.save(p, a)
+        paths.append(p)
+        arrays.append(a.astype(np.float32))
+    return paths, arrays
+
+
+class TestNativeReader:
+    def test_single_matches_python(self, vols):
+        paths, arrays = vols
+        for p, a in zip(paths, arrays):
+            out = nl.load_volume_native(p)
+            np.testing.assert_allclose(out, nifti.load(p), rtol=1e-6)
+            np.testing.assert_allclose(out, a, rtol=1e-6)
+
+    def test_fused_normalize_matches_host(self, vols):
+        from multimodal_ad_tpu.data.transforms import scale_intensity
+
+        paths, arrays = vols
+        out = nl.load_volume_native(paths[0], normalize=True)
+        np.testing.assert_allclose(out, scale_intensity(arrays[0]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_batch_decode_parallel(self, vols):
+        paths, arrays = vols
+        dec = nl.NativeBatchDecoder((9, 11, 10), n_threads=4)
+        out = dec.decode(paths)
+        assert out.shape == (4, 9, 11, 10)
+        for i, a in enumerate(arrays):
+            np.testing.assert_allclose(out[i], a, rtol=1e-6)
+
+    def test_bad_file_clean_error(self, tmp_path):
+        p = str(tmp_path / "garbage.nii")
+        open(p, "wb").write(b"not a nifti at all")
+        with pytest.raises(ValueError, match="native NIfTI decode failed"):
+            nl.load_volume_native(p)
+
+    def test_shape_mismatch_rejected(self, vols, tmp_path):
+        paths, _ = vols
+        dec = nl.NativeBatchDecoder((5, 5, 5))
+        with pytest.raises(ValueError):
+            dec.decode(paths[:1])
+
+    def test_loader_adapter_in_pipeline(self, vols, adni_dir):
+        """make_native_loader plugs into VolumeBatcher like the Python one."""
+        from multimodal_ad_tpu.data.adni import ADNIManifest
+        from multimodal_ad_tpu.data.pipeline import VolumeBatcher
+        from multimodal_ad_tpu.data.transforms import VolumeTransform
+
+        m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
+                         verbose=False)
+        b = VolumeBatcher(m.data_dict[:4], VolumeTransform(), batch_size=4,
+                          loader=nl.make_native_loader(), num_threads=2)
+        batch = next(iter(b))
+        assert batch["image"].shape == (4, *adni_dir["shape"], 1)
+
+        b_py = VolumeBatcher(m.data_dict[:4], VolumeTransform(), batch_size=4,
+                             num_threads=2)
+        batch_py = next(iter(b_py))
+        np.testing.assert_allclose(batch["image"], batch_py["image"],
+                                   rtol=1e-5, atol=1e-6)
