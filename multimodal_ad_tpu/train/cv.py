@@ -173,8 +173,27 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
 
         best_metric = -np.inf
         best_path = os.path.join(cfg.checkpoint_dir, f"best_fold{fold}")
+        last_path = os.path.join(cfg.checkpoint_dir, f"last_fold{fold}")
+        final_path = os.path.join(cfg.checkpoint_dir, f"model_fold{fold}_final")
+        start_epoch = 1
+        if cfg.resume and os.path.isdir(last_path):
+            # mid-training resume — the capability the reference lacks
+            # (SURVEY.md §5 checkpoint entry)
+            state, meta = ckpt.restore_state(last_path, state)
+            state = replicate(state, mesh)
+            done = int(meta.get("metrics", {}).get("epoch", 0))
+            best_metric = float(meta.get("metrics", {}).get(
+                "best_metric", -np.inf))
+            if done >= cfg.num_epochs:
+                if verbose:
+                    print(f"[resume] fold {fold}: {done}/{cfg.num_epochs} "
+                          f"epochs already done; skipping")
+                continue
+            start_epoch = done + 1
+            if verbose:
+                print(f"[resume] fold {fold} from epoch {start_epoch}")
         step_timer = StepTimer()
-        for epoch in range(1, cfg.num_epochs + 1):
+        for epoch in range(start_epoch, cfg.num_epochs + 1):
             t0 = time.time()
             # profile the steady-state epoch (2nd — past compilation)
             prof = trace(cfg.profile_dir) if (
@@ -209,6 +228,11 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
                              "val_loss": vl_loss, "current_metric": score,
                              "epoch": epoch},
                     config=cfg.to_dict())
+            if cfg.resume:  # rolling resume point
+                ckpt.save_checkpoint(
+                    last_path, state,
+                    metrics={"epoch": epoch, "best_metric": best_metric},
+                    config=cfg.to_dict())
 
         if verbose and step_timer.times:
             st = step_timer.summary()
@@ -216,7 +240,7 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
                   f"p50={st['p50_s']*1000:.1f}ms p95={st['p95_s']*1000:.1f}ms "
                   f"({st['steps']} steps)")
         ckpt.save_checkpoint(
-            os.path.join(cfg.checkpoint_dir, f"model_fold{fold}_final"), state,
+            final_path, state,
             metrics={"train_auc": tr_m["AUC"], "val_auc": vl_m["AUC"],
                      "val_loss": vl_loss},
             config=cfg.to_dict())
