@@ -203,10 +203,56 @@ def bench_jax_hbm_resident(vols):
     return TPU_TIMED_BATCHES * batch / dt
 
 
+def bench_jax_train(vols, timed_steps: int = 16):
+    """Training-step throughput (fwd+bwd+update) with HBM-resident data."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_ad_tpu.data.device_cache import DeviceDataset
+    from multimodal_ad_tpu.models.resnet3d import generate_model
+    from multimodal_ad_tpu.ops.normalize import scale_intensity as dev_scale
+    from multimodal_ad_tpu.parallel.mesh import make_mesh, replicate
+    from multimodal_ad_tpu.train.loop import (create_train_state,
+                                              make_epoch_schedule,
+                                              make_train_step)
+
+    mesh = make_mesh({"data": -1})
+    batch = BATCH * mesh.size if mesh.size > 1 else BATCH
+    ds = DeviceDataset(np.stack(vols)[..., None],
+                       (np.arange(len(vols)) % 2).astype(np.int32), mesh=mesh)
+
+    model = generate_model(model_depth=18, nb_class=2)
+    rng = np.random.default_rng(0)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        {"image": jnp.zeros((1, *VOL_SHAPE, 1), jnp.float32)},
+        make_epoch_schedule(1e-4, 100))
+    state = replicate(state, mesh)
+    cw = replicate(jnp.ones((2,), jnp.float32), mesh)
+    base_step = make_train_step(2)
+
+    def step(state, indices, key):
+        b = ds.gather(indices)
+        b["image"] = dev_scale(b["image"])
+        return base_step(state, b, cw, key)
+
+    key = jax.random.PRNGKey(1)
+    idx = lambda: jnp.asarray(rng.integers(0, ds.n, batch), jnp.int32)
+    state, loss, _ = step(state, idx(), key)  # compile
+    np.asarray(loss)
+
+    t0 = time.time()
+    for _ in range(timed_steps):
+        state, loss, _ = step(state, idx(), key)
+    np.asarray(loss)
+    return timed_steps * batch / (time.time() - t0)
+
+
 def main():
     vols = synth_volumes(12)
 
     hbm_vps = bench_jax_hbm_resident(vols)
+    train_vps = bench_jax_train(vols)
     stream_vps = bench_jax(vols)
     cpu_vps = bench_cpu_reference(vols)
 
@@ -217,6 +263,7 @@ def main():
         "vs_baseline": round(hbm_vps / cpu_vps, 2),
         "baseline_cpu_volumes_per_sec": round(cpu_vps, 3),
         "streaming_volumes_per_sec": round(stream_vps, 2),
+        "train_volumes_per_sec": round(train_vps, 2),
         "batch": BATCH,
         "volume_shape": list(VOL_SHAPE),
     }

@@ -214,6 +214,7 @@ class ResNet3D(nn.Module):
     head: str = "classifier"
     dropout_rate: float = 0.5
     num_seg_classes: int = 1
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -223,6 +224,10 @@ class ResNet3D(nn.Module):
             raise ValueError(f"unsupported depth {self.depth}")
         kind, layers = DEPTH_BLOCKS[self.depth]
         block_cls = BasicBlock if kind == "basic" else Bottleneck
+        if self.remat:
+            # jax.checkpoint per residual block: activations are recomputed
+            # in the backward pass, cutting peak HBM for deep/big-batch runs
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
 
         x = x.astype(self.dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)

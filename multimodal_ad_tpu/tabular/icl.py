@@ -25,7 +25,7 @@ to `max_context` with a validity mask, classes pad to `max_classes`.
 
 from __future__ import annotations
 
-import functools
+
 from dataclasses import dataclass
 from typing import Any
 
