@@ -11,16 +11,25 @@ from .ensembles import (AutoICLClassifier, GreedyWeightedEnsemble,
 from .hpo import TunedICLClassifier
 from .icl import ICLClassifier, ICLConfig, ICLTransformer, pretrain_icl
 from .many_class import ManyClassClassifier
+from .regression import (DecisionTreeICLRegressor, ICLRegressor,
+                         RandomForestICLRegressor, TunedICLRegressor)
 from .rf_icl import DecisionTreeICLClassifier, RandomForestICLClassifier
 from .scoring import safe_roc_auc_score, score_classification, score_regression
 from .unsupervised import TabularUnsupervisedModel
+from .utils import (get_device, infer_categorical_features, is_icl_estimator,
+                    product_dict, softmax)
 
 # reference-name aliases (drop-in for tabpfn_extensions users)
 AutoTabPFNClassifier = AutoICLClassifier
 TunedTabPFNClassifier = TunedICLClassifier
+TunedTabPFNRegressor = TunedICLRegressor
 TabPFNUnsupervisedModel = TabularUnsupervisedModel
 DecisionTreeTabPFNClassifier = DecisionTreeICLClassifier
 RandomForestTabPFNClassifier = RandomForestICLClassifier
+DecisionTreeTabPFNRegressor = DecisionTreeICLRegressor
+RandomForestTabPFNRegressor = RandomForestICLRegressor
+TabPFNClassifier = ICLClassifier
+TabPFNRegressor = ICLRegressor
 
 __all__ = [
     "OoFEmbedding", "TabPFNEmbedding", "ICLClassifier", "ICLConfig",
@@ -30,7 +39,11 @@ __all__ = [
     "RandomForestICLClassifier", "make_voting_classifier",
     "make_stacking_classifier", "safe_roc_auc_score",
     "score_classification", "score_regression",
-    "AutoTabPFNClassifier", "TunedTabPFNClassifier",
+    "ICLRegressor", "TunedICLRegressor", "DecisionTreeICLRegressor",
+    "RandomForestICLRegressor", "get_device", "infer_categorical_features",
+    "is_icl_estimator", "product_dict", "softmax",
+    "AutoTabPFNClassifier", "TunedTabPFNClassifier", "TunedTabPFNRegressor",
     "TabPFNUnsupervisedModel", "DecisionTreeTabPFNClassifier",
-    "RandomForestTabPFNClassifier",
+    "RandomForestTabPFNClassifier", "DecisionTreeTabPFNRegressor",
+    "RandomForestTabPFNRegressor", "TabPFNClassifier", "TabPFNRegressor",
 ]

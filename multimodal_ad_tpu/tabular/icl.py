@@ -130,7 +130,9 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
     y = np.zeros((batch, n), np.int64)
     for b in range(batch):
         f = int(rng.integers(3, max(4, F // 2) + 1))
-        c = int(rng.integers(2, min(C, 6) + 1))
+        # full class range: the regressor's bucket decoding uses every
+        # label id, so all label embeddings must be meta-trained
+        c = int(rng.integers(2, C + 1))
         kind = rng.random()
         if kind < 0.35:
             # cluster prior: class-conditional gaussians with random
