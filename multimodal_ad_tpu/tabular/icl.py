@@ -214,6 +214,35 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
     return params, cfg
 
 
+def default_asset_path() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "assets", "icl_default.msgpack")
+
+
+def load_default_params(cfg: ICLConfig):
+    """Bundled meta-trained weights for the DEFAULT ICLConfig (trained by
+    cli/pretrain_icl); None when the config differs or no asset exists."""
+    import os
+
+    if cfg != ICLConfig():
+        return None
+    path = default_asset_path()
+    if not os.path.isfile(path):
+        return None
+    from flax import serialization
+
+    model = ICLTransformer(cfg)
+    rng = np.random.default_rng(0)
+    t = sample_tasks(rng, 1, cfg, 8, 4)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(t["x_ctx"]),
+                          jnp.asarray(t["y_ctx"]), jnp.asarray(t["ctx_mask"]),
+                          jnp.asarray(t["x_qry"]))
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 class ICLClassifier(ClassifierMixin, BaseEstimator):
     """sklearn estimator over the prior-fitted network.
 
@@ -255,8 +284,12 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
             return self.params
         key = (self._cfg, self.seed, self.pretrain_steps)
         if key not in ICLClassifier._param_cache:
-            ICLClassifier._param_cache[key], _ = pretrain_icl(
-                self._cfg, steps=self.pretrain_steps, seed=self.seed)
+            bundled = load_default_params(self._cfg)
+            if bundled is not None:
+                ICLClassifier._param_cache[key] = bundled
+            else:
+                ICLClassifier._param_cache[key], _ = pretrain_icl(
+                    self._cfg, steps=self.pretrain_steps, seed=self.seed)
         return ICLClassifier._param_cache[key]
 
     def _pad_features(self, X):
