@@ -1,5 +1,6 @@
 """Model zoo exports."""
 
+from .daft import DAFTBlock, DAFTResNet
 from .densenet import DilatedDenseNet, densenet_2d, densenet_3d
 from .hypergraph import MSHyperModel, hypergraph_conv
 from .resnet3d import (ResNet3D, generate_model, image_encoder, resnet10,
@@ -14,7 +15,7 @@ __all__ = [
     "resnet34", "resnet50", "resnet101", "resnet152", "resnet200",
     "UNet3D", "UNet3DClassifier", "unet_forward_with_features",
     "DilatedDenseNet", "densenet_2d", "densenet_3d",
-    "MSHyperModel", "hypergraph_conv",
+    "MSHyperModel", "hypergraph_conv", "DAFTBlock", "DAFTResNet",
     "SFCN", "SmallCNN3D", "Transformer", "CrossTransformer",
     "CrossTransformerModAvg", "MultimodalClassifier",
 ]

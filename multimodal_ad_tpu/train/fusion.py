@@ -42,14 +42,19 @@ from .loop import (TrainState, make_epoch_schedule, make_optimizer,
 from .metrics import calculate_metrics, model_selection_score
 
 
-def make_fusion_steps(model: MultimodalClassifier):
-    def forward_kwargs(batch):
-        kw = {}
-        if model.use_pet:
-            kw["pet"] = batch["pet"]
-        if model.use_table:
-            kw["table"] = batch["table"]
-        return kw
+def make_fusion_steps(model, arch: str = "cross_transformer"):
+    if arch == "daft":
+        # DAFTResNet signature: apply(vars, image, table)
+        def forward_kwargs(batch):
+            return {"table": batch["table"]}
+    else:
+        def forward_kwargs(batch):
+            kw = {}
+            if model.use_pet:
+                kw["pet"] = batch["pet"]
+            if model.use_table:
+                kw["table"] = batch["table"]
+            return kw
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, class_weights, dropout_rng):
@@ -125,12 +130,19 @@ def _fusion_epoch(step_fn, state, loader, mesh, *, train, class_weights=None,
 
 def train_fusion_cv(cfg: Config, use_pet: bool = False, use_table: bool = False,
                     table_data=None, model_kw=None, records=None, mesh=None,
-                    loader=None, embedder=None, verbose=True):
-    """CV training of the MultimodalClassifier.
+                    loader=None, embedder=None, verbose=True,
+                    arch: str = "cross_transformer"):
+    """CV training of a fusion model.
 
+    arch: 'cross_transformer' (token fusion, models/transformer.py) or
+    'daft' (affine feature-map modulation, models/daft.py — requires
+    use_table=True, no PET branch).
     table_data: optional (X, y, subjects) for the clinical branch —
     subjects must match the imaging manifest's Subject ids.
     """
+    if arch == "daft" and (not use_table or use_pet):
+        raise ValueError("arch='daft' fuses image+table (use_table=True, "
+                         "use_pet=False)")
     np.random.seed(cfg.seed)
     mesh = mesh or make_mesh(cfg.mesh_shape)
     if records is None:
@@ -140,12 +152,21 @@ def train_fusion_cv(cfg: Config, use_pet: bool = False, use_table: bool = False,
                                verbose=verbose).data_dict
     tr_val, test_data = stratified_test_split(records, cfg.split_ratio, cfg.seed)
 
-    model = MultimodalClassifier(
-        num_classes=cfg.nb_class, use_pet=use_pet, use_table=use_table,
-        dropout=cfg.dropout_rate,
-        dtype=jnp.dtype(cfg.compute_dtype),
-        param_dtype=jnp.dtype(cfg.param_dtype), **(model_kw or {}))
-    train_step, eval_step = make_fusion_steps(model)
+    if arch == "daft":
+        from ..models.daft import DAFTResNet
+
+        model = DAFTResNet(num_classes=cfg.nb_class,
+                           dropout_rate=cfg.dropout_rate,
+                           dtype=jnp.dtype(cfg.compute_dtype),
+                           param_dtype=jnp.dtype(cfg.param_dtype),
+                           **(model_kw or {}))
+    else:
+        model = MultimodalClassifier(
+            num_classes=cfg.nb_class, use_pet=use_pet, use_table=use_table,
+            dropout=cfg.dropout_rate,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            param_dtype=jnp.dtype(cfg.param_dtype), **(model_kw or {}))
+    train_step, eval_step = make_fusion_steps(model, arch)
 
     logger = CVLogger(cfg.checkpoint_dir, csv_name="fusion_results.csv")
     tf_train, tf_eval = make_transforms(cfg.augment, seed=cfg.seed)
@@ -178,14 +199,20 @@ def train_fusion_cv(cfg: Config, use_pet: bool = False, use_table: bool = False,
 
         sample = next(iter(loader_vl))
         rng = jax.random.PRNGKey(cfg.seed + fold)
-        init_kw = {}
-        if use_pet:
-            init_kw["pet"] = jnp.asarray(sample["pet"][:1])
-        if use_table:
-            init_kw["table"] = jnp.asarray(sample["table"][:1])
-        variables = model.init({"params": rng, "dropout": rng},
-                               jnp.asarray(sample["image"][:1]), train=False,
-                               **init_kw)
+        if arch == "daft":
+            variables = model.init({"params": rng, "dropout": rng},
+                                   jnp.asarray(sample["image"][:1]),
+                                   jnp.asarray(sample["table"][:1]),
+                                   train=False)
+        else:
+            init_kw = {}
+            if use_pet:
+                init_kw["pet"] = jnp.asarray(sample["pet"][:1])
+            if use_table:
+                init_kw["table"] = jnp.asarray(sample["table"][:1])
+            variables = model.init({"params": rng, "dropout": rng},
+                                   jnp.asarray(sample["image"][:1]),
+                                   train=False, **init_kw)
         tx = make_optimizer(schedule, cfg.weight_decay, cfg.grad_clip_norm,
                             "adam")
         state = TrainState(

@@ -94,3 +94,34 @@ class TestFusionTraining:
         assert all(np.isfinite(b) for b in best)
         assert os.path.isdir(os.path.join(ckpt_dir, "fusion_best_fold1"))
         assert os.path.isfile(os.path.join(ckpt_dir, "fusion_results.csv"))
+
+
+@pytest.mark.slow
+class TestDAFTFusion:
+    def test_daft_arch_cv(self, fusion_dir, tmp_path, mesh8):
+        from sklearn.linear_model import LogisticRegression
+
+        class LogRegEmbedder(LogisticRegression):
+            def get_embeddings(self, X, data_source="test"):
+                return self.predict_proba(X)[None]
+
+        m = ADNIManifest(fusion_dir["label_file"], fusion_dir["mri_dir"],
+                         "ADCN", verbose=False)
+        table_data = table_for(m)
+        cfg = Config(
+            label_file=fusion_dir["label_file"], mri_dir=fusion_dir["mri_dir"],
+            task="ADCN", num_epochs=1, batch_size=8, lr=1e-3, n_splits=2,
+            checkpoint_dir=str(tmp_path / "ckpt"), compute_dtype="float32",
+            loader_threads=2)
+        best, _ = train_fusion_cv(
+            cfg, use_table=True, table_data=table_data, arch="daft",
+            model_kw=dict(layers=(1, 1, 1, 1)),
+            records=m.data_dict, mesh=mesh8,
+            embedder=LogRegEmbedder(max_iter=200), verbose=False)
+        assert len(best) == 2 and all(np.isfinite(b) for b in best)
+
+    def test_daft_requires_table(self, fusion_dir, mesh8):
+        cfg = Config(label_file=fusion_dir["label_file"],
+                     mri_dir=fusion_dir["mri_dir"])
+        with pytest.raises(ValueError, match="daft"):
+            train_fusion_cv(cfg, use_table=False, arch="daft", mesh=mesh8)
