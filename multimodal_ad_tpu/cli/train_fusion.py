@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--use-table", action="store_true")
     p.add_argument("--table", default=None, help="clinical CSV (ADNI_Tabel)")
     p.add_argument("--table-start-col", type=int, default=14)
+    p.add_argument("--arch", choices=["cross_transformer", "daft"],
+                   default="cross_transformer")
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--depth", type=int, default=2)
     args = p.parse_args(argv)
@@ -43,10 +45,11 @@ def main(argv=None):
         subjects = df[df["Group"].isin(["CN", "AD"])]["Subject_ID"].tolist()
         table_data = (X, y, subjects)
 
+    model_kw = ({} if args.arch == "daft"
+                else dict(dim=args.dim, depth=args.depth))
     best, ckpt_dir = train_fusion_cv(
         cfg, use_pet=args.use_pet, use_table=args.use_table,
-        table_data=table_data,
-        model_kw=dict(dim=args.dim, depth=args.depth))
+        table_data=table_data, arch=args.arch, model_kw=model_kw)
     print(f"\nbest fold scores: {np.round(best, 4).tolist()}")
     print(f"checkpoints: {ckpt_dir}")
     return best

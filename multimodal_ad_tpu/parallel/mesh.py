@@ -65,6 +65,22 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def spatial_sharding(mesh: Mesh, axis: str = "data",
+                     spatial_dim: int = 1) -> NamedSharding:
+    """Shard a volume batch along a SPATIAL dimension instead of batch.
+
+    The analogue of LLM sequence parallelism for volumetric workloads
+    (SURVEY.md §5): when a single volume is too large for one chip's HBM,
+    split its first spatial axis across the mesh. Under jit, XLA GSPMD
+    inserts the halo exchanges 3-D convolutions need at shard boundaries —
+    no manual ring logic. Not required for ADNI-scale volumes (they fit
+    easily); provided as the scale-up path for higher-resolution imaging.
+    """
+    spec = [None] * 5
+    spec[spatial_dim] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
 def pad_to_multiple(batch_np: dict, multiple: int):
     """Pad every array in a host batch dict along dim 0 to a multiple of
     `multiple`, returning (padded_batch, mask). TPU-idiomatic handling of

@@ -1,0 +1,120 @@
+"""Sharding semantics on the faked 8-device mesh: data-parallel numerics
+and spatial (volume) sharding with GSPMD halo exchange."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_ad_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                             pad_to_multiple, replicate,
+                                             spatial_sharding)
+
+
+class TestMeshBasics:
+    def test_wildcard_mesh(self, mesh8):
+        assert mesh8.size == 8
+        assert mesh8.axis_names == ("data",)
+
+    def test_pad_to_multiple(self):
+        batch = {"image": np.ones((5, 3)), "label": np.arange(5)}
+        padded, mask = pad_to_multiple(batch, 8)
+        assert padded["image"].shape == (8, 3)
+        assert mask.tolist() == [1, 1, 1, 1, 1, 0, 0, 0]
+        # pad rows replicate the last real row (never garbage)
+        np.testing.assert_array_equal(padded["label"][5:], [4, 4, 4])
+
+
+class TestDataParallelNumerics:
+    def test_sharded_batchnorm_matches_single_device(self, mesh8):
+        """Under GSPMD, BatchNorm's batch mean over a sharded batch is the
+        GLOBAL mean — multi-chip training matches single-device statistics
+        (the property the harness relies on, models/resnet3d.py docstring)."""
+        from flax import linen as nn
+
+        class BN(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.BatchNorm(use_running_average=False)(x)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(3.0, 2.0, size=(16, 6)).astype(np.float32)
+        model = BN()
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        @jax.jit
+        def fwd(v, x):
+            out, _ = model.apply(v, x, mutable=["batch_stats"])
+            return out
+
+        ref = np.asarray(fwd(variables, jnp.asarray(x)))
+        xs = jax.device_put(x, data_sharding(mesh8))
+        vs = replicate(variables, mesh8)
+        out = np.asarray(fwd(vs, xs))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_sharded_grad_matches_single_device(self, mesh8):
+        """Gradient of a mean loss over a sharded batch == unsharded
+        gradient (the implicit psum)."""
+        w = jnp.asarray(np.random.default_rng(1).normal(size=(4, 2)),
+                        jnp.float32)
+        x = np.random.default_rng(2).normal(size=(16, 4)).astype(np.float32)
+
+        def loss(w, x):
+            return jnp.mean(jnp.tanh(x @ w) ** 2)
+
+        g_ref = np.asarray(jax.jit(jax.grad(loss))(w, jnp.asarray(x)))
+        xs = jax.device_put(x, data_sharding(mesh8))
+        ws = jax.device_put(w, replicate({"w": w}, mesh8)["w"].sharding)
+        g = np.asarray(jax.jit(jax.grad(loss))(ws, xs))
+        np.testing.assert_allclose(g, g_ref, rtol=1e-5, atol=1e-6)
+
+
+class TestSpatialSharding:
+    def test_spatially_sharded_conv_matches(self, mesh8):
+        """A 3-D conv over a volume sharded along X must equal the
+        unsharded result — GSPMD inserts the halo exchange."""
+        from flax import linen as nn
+
+        class C(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Conv(4, (3, 3, 3), padding=1)(x)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 16, 8, 8, 2)).astype(np.float32)
+        model = C()
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        ref = np.asarray(fwd(variables, jnp.asarray(x)))
+
+        xs = jax.device_put(x, spatial_sharding(mesh8, spatial_dim=1))
+        vs = replicate(variables, mesh8)
+        out = fwd(vs, xs)
+        assert len(out.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    def test_spatially_sharded_model_stage(self, mesh8):
+        """A strided conv + pool stage stays correct under spatial sharding."""
+        from flax import linen as nn
+
+        from multimodal_ad_tpu.models.resnet3d import max_pool_3d
+
+        class Stem(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(8, (7, 7, 7), strides=(2, 2, 2), padding=3,
+                            use_bias=False)(x)
+                return max_pool_3d(x, 3, 2, 1)
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 32, 16, 16, 1)).astype(np.float32)
+        model = Stem()
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        ref = np.asarray(fwd(variables, jnp.asarray(x)))
+        xs = jax.device_put(x, spatial_sharding(mesh8, spatial_dim=1))
+        out = np.asarray(fwd(replicate(variables, mesh8), xs))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
