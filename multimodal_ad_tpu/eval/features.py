@@ -55,7 +55,9 @@ def extract_unet_features(records, atlas_labels, roi_names, out_dir,
     Returns (features_csv_path, roi_csv_path).
     """
     mesh = mesh or make_mesh({"data": -1})
-    model = model or UNet3D(in_channels=1, num_classes=1)
+    # fp32 by default: the CSV outputs are contractually deterministic /
+    # bit-comparable (BASELINE.md), so no bf16 drift on this path
+    model = model or UNet3D(in_channels=1, num_classes=1, dtype=jnp.float32)
     if variables is None:
         shape = atlas_labels.shape
         x0 = jnp.zeros((1, *shape, 1), jnp.float32)
@@ -129,7 +131,8 @@ def extract_encoder_features(records, out_dir, depth: int = 18,
     flattened feature vector + label.
     """
     mesh = mesh or make_mesh({"data": -1})
-    model = ResNet3D(depth=depth, head="pool" if global_pool else "none")
+    model = ResNet3D(depth=depth, head="pool" if global_pool else "none",
+                     dtype=jnp.float32)
     if variables is None:
         x0 = jnp.zeros((1, *input_shape, 1), jnp.float32)
         variables = model.init({"params": jax.random.PRNGKey(seed)}, x0,
