@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
+
 
 from ..eval.atlas import (load_atlas, query_voxel, query_world, roi_centers,
                           save_roi_overlay)

@@ -12,7 +12,7 @@ task yields AD=0, CN=1 — both preserved exactly (SURVEY.md §8).
 
 from __future__ import annotations
 
-import numpy as np
+
 import pandas as pd
 
 

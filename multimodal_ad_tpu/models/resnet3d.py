@@ -30,7 +30,7 @@ TPU-first design choices (not a port):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

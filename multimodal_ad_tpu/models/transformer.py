@@ -26,7 +26,7 @@ SURVEY.md §5 long-context note).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

@@ -25,11 +25,10 @@ float32 with the reference's 1e-6 count clamp (image_features.py:113).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 
 def _flatten(feats, labels):

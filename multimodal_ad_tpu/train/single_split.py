@@ -27,7 +27,7 @@ from ..parallel.mesh import make_mesh, replicate
 from ..utils.logging import CVLogger
 from . import checkpoint as ckpt
 from .cv import _run_epoch
-from .loop import TrainState, create_train_state, make_eval_step, make_train_step, next_epoch
+from .loop import create_train_state, make_eval_step, make_train_step, next_epoch
 
 
 def train_unet_classifier(cfg: Config, records=None, mesh=None, loader=None,
