@@ -86,7 +86,9 @@ class DeviceEpochIterator:
 
     def __init__(self, dataset: DeviceDataset, indices, batch_size: int,
                  shuffle: bool = False, seed: int = 0,
-                 normalizer: str = "scale_intensity", subjects=None):
+                 normalizer: str = "scale_intensity", subjects=None,
+                 augment: bool = False, flip_prob: float = 0.3,
+                 scale_prob: float = 0.3):
         from ..ops.normalize import NORMALIZERS
 
         self.ds = dataset
@@ -95,14 +97,28 @@ class DeviceEpochIterator:
         self.shuffle = shuffle
         self.seed = seed
         self.subjects = subjects
+        self.augment = augment
         self._epoch = 0
+        self._step = 0
         norm = NORMALIZERS[normalizer]
 
-        @jax.jit
-        def _gather(idx):
-            b = dataset.gather(idx)
-            b["image"] = norm(b["image"])
-            return b
+        if augment:
+            from ..ops.augment import augment_batch
+
+            @jax.jit
+            def _gather(idx, key):
+                b = dataset.gather(idx)
+                b["image"] = augment_batch(norm(b["image"]), key,
+                                           flip_prob=flip_prob,
+                                           scale_prob=scale_prob)
+                return b
+        else:
+            @jax.jit
+            def _gather(idx, key):
+                del key
+                b = dataset.gather(idx)
+                b["image"] = norm(b["image"])
+                return b
 
         self._gather = _gather
 
@@ -121,7 +137,9 @@ class DeviceEpochIterator:
             n_real = len(chunk)
             if n_real < bs:  # pad to static shape, mask invalid rows
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n_real)])
-            batch = dict(self._gather(jnp.asarray(chunk, jnp.int32)))
+            key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._step)
+            self._step += 1
+            batch = dict(self._gather(jnp.asarray(chunk, jnp.int32), key))
             mask = np.ones(bs, np.float32)
             mask[n_real:] = 0.0
             batch["mask"] = jnp.asarray(mask)

@@ -107,8 +107,8 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
         from ..data.device_cache import build_device_dataset
 
         if cfg.augment and verbose:
-            print("[hbm_cache] augment not supported on the device-resident "
-                  "path yet; training without augmentation")
+            print("[hbm_cache] using device-side augmentation "
+                  "(flip + intensity jitter, ops/augment.py)")
         kw = {"loader": loader} if loader is not None else {}
         device_ds = build_device_dataset(tr_val, mesh=mesh,
                                          store_dtype=np.float32,
@@ -135,7 +135,7 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
             loader_tr = DeviceEpochIterator(
                 device_ds, [subj_to_idx[r["Subject"]] for r in train_data],
                 cfg.batch_size, shuffle=True, seed=cfg.seed + fold,
-                subjects=subjects)
+                subjects=subjects, augment=cfg.augment)
             loader_vl = DeviceEpochIterator(
                 device_ds, [subj_to_idx[r["Subject"]] for r in val_data],
                 cfg.batch_size, subjects=subjects)

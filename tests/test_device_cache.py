@@ -108,3 +108,44 @@ class TestHBMTraining:
         assert loss_s == pytest.approx(loss_h, rel=1e-4)
         assert m_s["ACC"] == m_h["ACC"]
         assert m_s["AUC"] == pytest.approx(m_h["AUC"], abs=1e-6)
+
+
+class TestDeviceAugment:
+    def test_flip_probability_semantics(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_ad_tpu.ops.augment import random_flip
+
+        x = jnp.asarray(rng.normal(size=(8, 4, 4, 4, 1)), jnp.float32)
+        none = random_flip(x, jax.random.PRNGKey(0), prob=0.0)
+        np.testing.assert_array_equal(np.asarray(none), np.asarray(x))
+        allf = random_flip(x, jax.random.PRNGKey(0), prob=1.0)
+        np.testing.assert_array_equal(np.asarray(allf),
+                                      np.asarray(jnp.flip(x, axis=1)))
+
+    def test_augmented_iterator_varies_but_masks_hold(self, rng):
+        vols = rng.normal(size=(8, 6, 6, 6, 1)).astype(np.float32)
+        ds = DeviceDataset(vols, np.arange(8) % 2)
+        it_a = DeviceEpochIterator(ds, np.arange(8), batch_size=8,
+                                   augment=True, seed=1, flip_prob=1.0)
+        it_p = DeviceEpochIterator(ds, np.arange(8), batch_size=8,
+                                   augment=False)
+        a = np.asarray(next(iter(it_a))["image"])
+        p = np.asarray(next(iter(it_p))["image"])
+        assert not np.allclose(a, p)  # flips applied
+        # labels/masks unaffected
+        np.testing.assert_array_equal(
+            np.asarray(next(iter(it_a))["label"]),
+            np.asarray(next(iter(it_p))["label"]))
+
+    def test_intensity_jitter_bounded(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_ad_tpu.ops.augment import random_intensity_scale
+
+        x = jnp.ones((4, 3, 3, 3, 1))
+        out = np.asarray(random_intensity_scale(x, jax.random.PRNGKey(1),
+                                                prob=1.0, factor=0.1))
+        assert (out >= 0.9 - 1e-6).all() and (out <= 1.1 + 1e-6).all()
