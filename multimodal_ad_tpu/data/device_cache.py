@@ -135,17 +135,24 @@ class DeviceEpochIterator:
         for i in range(0, len(order), bs):
             chunk = order[i:i + bs]
             n_real = len(chunk)
-            if n_real < bs:  # pad to static shape, mask invalid rows
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n_real)])
+            if n_real < bs:
+                # pad to the static shape with real samples cycled from the
+                # epoch order (mask invalidates them) — repeating one row
+                # would bias BatchNorm batch statistics
+                pad = bs - n_real
+                extra = np.concatenate(
+                    [order] * (pad // max(len(order), 1) + 1))[:pad]
+                chunk = np.concatenate([chunk, extra])
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._step)
             self._step += 1
             batch = dict(self._gather(jnp.asarray(chunk, jnp.int32), key))
             mask = np.ones(bs, np.float32)
             mask[n_real:] = 0.0
             batch["mask"] = jnp.asarray(mask)
-            batch["subject"] = ([self.subjects[j] for j in chunk]
+            real = chunk[:n_real]  # real rows only, host-only
+            batch["subject"] = ([self.subjects[j] for j in real]
                                 if self.subjects is not None else
-                                [str(j) for j in chunk])
+                                [str(j) for j in real])
             yield batch
 
 

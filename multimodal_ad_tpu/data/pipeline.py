@@ -9,8 +9,10 @@ depth ahead of consumption — so H2D copy and host decode overlap step
 compute and the chip is never input-bound (BASELINE.json north star).
 
 Batches are padded to a static size with a validity mask instead of letting
-the last batch be ragged (see parallel.mesh.pad_to_multiple): static shapes
-mean one XLA compilation, period.
+the last batch be ragged: static shapes mean one XLA compilation, period.
+Padding rows are real samples cycled from the epoch order (not repeats of
+the last row) so BatchNorm batch statistics stay unbiased; the mask keeps
+them out of loss and metrics.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from concurrent.futures import ThreadPoolExecutor
 import jax
 import numpy as np
 
-from ..parallel.mesh import data_sharding, pad_to_multiple
+from ..parallel.mesh import data_sharding
 from ..utils import nifti
 
 
@@ -63,35 +65,55 @@ class VolumeBatcher:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _decode(self, rec, idx):
+    def _decode(self, rec, idx, epoch):
         out = {}
         for k in self.image_keys:
             vol = self.loader(rec[k])
-            out[k] = self.transform(vol, sample_idx=idx)
+            out[k] = self.transform(vol, sample_idx=idx, epoch=epoch)
         out["label"] = rec["label"]
         out["Subject"] = rec["Subject"]
         return out
 
     def __iter__(self):
         order = np.arange(len(self.records))
+        epoch = self._epoch
         if self.shuffle:
-            rng = np.random.default_rng((self.seed, self._epoch))
+            rng = np.random.default_rng((self.seed, epoch))
             rng.shuffle(order)
         self._epoch += 1
 
         bs = self.batch_size
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             # pipeline decode one batch ahead
-            chunks = [order[i:i + bs] for i in range(0, len(order), bs)]
-            if self.drop_remainder:
-                chunks = [c for c in chunks if len(c) == bs]
+            chunks = []
+            for i in range(0, len(order), bs):
+                chunk = order[i:i + bs]
+                n_real = len(chunk)
+                if n_real < bs:
+                    if self.drop_remainder:
+                        continue
+                    # Pad the ragged final batch to the static shape with
+                    # REAL samples cycled from this epoch's order — the mask
+                    # marks them invalid for loss/metrics, but BatchNorm
+                    # batch statistics (which nothing masks) see real,
+                    # diverse voxels instead of k copies of one row. The
+                    # reference instead feeds ragged final batches
+                    # (train_ResNet3D.py:146) — a dynamic shape XLA would
+                    # recompile for.
+                    pad = bs - n_real
+                    extra = np.concatenate(
+                        [order] * (pad // max(len(order), 1) + 1))[:pad]
+                    chunk = np.concatenate([chunk, extra])
+                chunks.append((chunk, n_real))
 
-            def submit(chunk):
-                return [pool.submit(self._decode, self.records[i], int(i))
+            def submit(item):
+                chunk, _ = item
+                return [pool.submit(self._decode, self.records[i], int(i),
+                                    epoch)
                         for i in chunk]
 
             pending = submit(chunks[0]) if chunks else None
-            for ci, chunk in enumerate(chunks):
+            for ci, (chunk, n_real) in enumerate(chunks):
                 futures = pending
                 pending = submit(chunks[ci + 1]) if ci + 1 < len(chunks) else None
                 samples = [f.result() for f in futures]
@@ -107,13 +129,12 @@ class VolumeBatcher:
                         [np.asarray(self.table_lookup[s["Subject"]], np.float32)
                          for s in samples])
                 batch["label"] = np.asarray([s["label"] for s in samples], np.int32)
-                subjects = [s["Subject"] for s in samples]
-                padded, mask = pad_to_multiple(
-                    {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
-                    bs)
-                padded["mask"] = mask
-                padded["subject"] = subjects  # unpadded, host-only
-                yield padded
+                mask = np.ones((len(samples),), np.float32)
+                mask[n_real:] = 0.0
+                batch["mask"] = mask
+                # real rows only, host-only
+                batch["subject"] = [s["Subject"] for s in samples[:n_real]]
+                yield batch
 
 
 def device_prefetch(iterator, mesh, depth: int = 2):

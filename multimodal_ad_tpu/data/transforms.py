@@ -164,12 +164,17 @@ class VolumeTransform:
                            "adaptive_normal": adaptive_normal}[normalizer]
         self._seed = seed
 
-    def __call__(self, vol: np.ndarray, sample_idx: int = 0) -> np.ndarray:
+    def __call__(self, vol: np.ndarray, sample_idx: int = 0,
+                 epoch: int = 0) -> np.ndarray:
         vol = self.normalizer(vol)
         if self.augment:
-            # Per-sample independent stream: reproducible regardless of
-            # loader thread interleaving (unlike torch DataLoader workers).
-            rng = np.random.default_rng((self._seed, sample_idx))
+            # Per-(epoch, sample) independent stream: reproducible regardless
+            # of loader thread interleaving (unlike torch DataLoader workers)
+            # AND fresh every epoch — MONAI's Rand* transforms re-randomize
+            # per epoch (reference datasets/ADNI.py:152-158); seeding on the
+            # sample alone would freeze augmentation into a fixed dataset
+            # perturbation.
+            rng = np.random.default_rng((self._seed, epoch, sample_idx))
             vol = rand_flip(vol, rng)
             vol = rand_rotate(vol, rng)
             vol = rand_zoom(vol, rng)

@@ -37,7 +37,8 @@ from .loop import TrainState
 def make_ae_steps(model: UNet3D, noise_rate: float = 0.2):
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng_key):
-        rng = jax.random.fold_in(rng_key, state.epoch)
+        # fresh noise mask per step (global step counter, see train/loop.py)
+        rng = jax.random.fold_in(rng_key, state.step)
 
         def loss_fn(params):
             keep = jax.random.bernoulli(rng, 1.0 - noise_rate,
@@ -57,7 +58,7 @@ def make_ae_steps(model: UNet3D, noise_rate: float = 0.2):
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(params=new_params, batch_stats=new_stats,
-                             opt_state=new_opt), loss
+                             opt_state=new_opt, step=state.step + 1), loss
 
     @jax.jit
     def eval_step(state: TrainState, batch):
@@ -120,13 +121,15 @@ def train_unet_autoencoder(cfg: Config, records=None, mesh=None, loader=None,
                                      depth=cfg.prefetch_depth):
             batch.pop("subject", None)
             state, loss = train_step(state, batch, rng_key)
-            tr_losses.append(float(loss))
+            tr_losses.append(loss)
         for batch in device_prefetch(iter(loader_vl), mesh,
                                      depth=cfg.prefetch_depth):
             batch.pop("subject", None)
-            vl_losses.append(float(eval_step(state, batch)))
+            vl_losses.append(eval_step(state, batch))
         state = state.replace(epoch=state.epoch + 1)
-        tr, vl = float(np.mean(tr_losses)), float(np.mean(vl_losses))
+        # end-of-epoch host fetch only (no per-step D2H sync)
+        tr = float(np.mean([float(x) for x in tr_losses]))
+        vl = float(np.mean([float(x) for x in vl_losses]))
         if verbose:
             print(f"AE Ep{epoch:03d} | train MSE={tr:.5f} | "
                   f"val MSE={vl:.5f} | {time.time() - t0:.1f}s")

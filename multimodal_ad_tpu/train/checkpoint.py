@@ -27,6 +27,7 @@ def _tree_of(state: TrainState) -> dict:
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "epoch": state.epoch,
+        "step": state.step,
     }
 
 
@@ -56,6 +57,7 @@ def restore_state(path: str, template: TrainState) -> tuple[TrainState, dict]:
         batch_stats=tree["batch_stats"],
         opt_state=tree["opt_state"],
         epoch=tree["epoch"],
+        step=tree["step"],
     )
     meta = {}
     meta_path = os.path.join(path, "meta.json")

@@ -56,7 +56,7 @@ def _run_epoch(step_fn, state, loader, mesh, *, train, class_weights=None,
     else:
         batches = device_prefetch(iter(loader), mesh, depth=prefetch_depth)
 
-    losses, y_true, y_pred, y_prob = [], [], [], []
+    losses, labels_l, masks_l, probs_l = [], [], [], []
     for batch in batches:
         batch = dict(batch)
         batch.pop("subject", None)
@@ -67,19 +67,31 @@ def _run_epoch(step_fn, state, loader, mesh, *, train, class_weights=None,
                                              dropout_rng)
             else:
                 loss, probs = step_fn(state, batch)
-            probs = np.asarray(probs)
-        mask = np.asarray(batch["mask"]) > 0
-        labels = np.asarray(batch["label"])
-        losses.append(float(loss))
-        y_true.extend(labels[mask].tolist())
-        y_pred.extend(np.argmax(probs, axis=-1)[mask].tolist())
-        y_prob.extend(probs[mask].tolist())
-    y_prob = np.asarray(y_prob)
+            if timer is not None:
+                # profiling mode: a device->host fetch is the only true sync
+                # on the hosted tunnel (block_until_ready is a no-op there),
+                # so pay one scalar fetch per step for accurate step times
+                loss = float(loss)
+        losses.append(loss)
+        probs_l.append(probs)
+        masks_l.append(batch["mask"])
+        labels_l.append(batch["label"])
+
+    # Loss/probs stay ON DEVICE until the epoch ends: one host fetch here
+    # instead of a blocking fetch per step, so queued steps dispatch
+    # back-to-back and the chip never idles on D2H latency.
+    probs = np.concatenate([np.asarray(p) for p in probs_l], axis=0)
+    mask = np.concatenate([np.asarray(m) for m in masks_l], axis=0) > 0
+    labels = np.concatenate([np.asarray(lb) for lb in labels_l], axis=0)
+    mean_loss = float(np.mean([float(lo) for lo in losses]))
+    y_true = labels[mask]
+    y_pred = np.argmax(probs, axis=-1)[mask]
+    y_prob = probs[mask]
     if y_prob.shape[-1] == 2:
         metrics = calculate_metrics(y_true, y_pred, y_prob[:, 1])
     else:
         metrics = calculate_metrics_multiclass(y_true, y_pred, y_prob)
-    return state, float(np.mean(losses)), metrics
+    return state, mean_loss, metrics
 
 
 def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
@@ -192,7 +204,8 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
             start_epoch = done + 1
             if verbose:
                 print(f"[resume] fold {fold} from epoch {start_epoch}")
-        step_timer = StepTimer()
+        # per-step timing costs one sync per step — only pay it when profiling
+        step_timer = StepTimer() if cfg.profile_dir else None
         for epoch in range(start_epoch, cfg.num_epochs + 1):
             t0 = time.time()
             # profile the steady-state epoch (2nd — past compilation)
@@ -234,7 +247,7 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
                     metrics={"epoch": epoch, "best_metric": best_metric},
                     config=cfg.to_dict())
 
-        if verbose and step_timer.times:
+        if verbose and step_timer is not None and step_timer.times:
             st = step_timer.summary()
             print(f"Fold{fold} train-step timing: mean={st['mean_s']*1000:.1f}ms "
                   f"p50={st['p50_s']*1000:.1f}ms p95={st['p95_s']*1000:.1f}ms "
@@ -279,21 +292,29 @@ def test_models(cfg: Config, test_data, model_factory=None, mesh=None,
     for fold in range(1, cfg.n_splits + 1):
         model = model_factory()
         sample = next(iter(VolumeBatcher(test_data[:1], tf_eval, **batcher_kw)))
+        # optimizer chain structure must match training's exactly (same
+        # grad_clip_norm / optimizer kind), else Orbax restore fails on a
+        # tree-structure mismatch
         template = create_train_state(model, jax.random.PRNGKey(0), sample,
-                                      schedule, cfg.weight_decay)
+                                      schedule, cfg.weight_decay,
+                                      cfg.grad_clip_norm, "adam")
         state, _ = ckpt.restore_state(
             os.path.join(cfg.checkpoint_dir, f"best_fold{fold}"), template)
         state = replicate(state, mesh)
 
-        probs, labels = [], []
+        probs_l, masks_l, labels_l = [], [], []
         for batch in device_prefetch(iter(loader_te), mesh,
                                      depth=cfg.prefetch_depth):
             batch.pop("subject")
             _, p = eval_step(state, batch)
-            p = np.asarray(p)
-            mask = np.asarray(batch["mask"]) > 0
-            probs.extend(p[mask, 1].tolist())
-            labels.extend(np.asarray(batch["label"])[mask].tolist())
+            probs_l.append(p)
+            masks_l.append(batch["mask"])
+            labels_l.append(batch["label"])
+        # one end-of-pass host fetch (no per-step D2H sync)
+        mask = np.concatenate([np.asarray(m) for m in masks_l]) > 0
+        probs = np.concatenate([np.asarray(p) for p in probs_l])[mask, 1].tolist()
+        labels = np.concatenate(
+            [np.asarray(lb) for lb in labels_l])[mask].tolist()
 
         # test-time decision rule: prob > 0.5 (train_ResNet3D.py:388)
         y_pred = (np.array(probs) > 0.5).astype(int)

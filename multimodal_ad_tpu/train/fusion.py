@@ -58,7 +58,8 @@ def make_fusion_steps(model, arch: str = "cross_transformer"):
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, class_weights, dropout_rng):
-        rng = jax.random.fold_in(dropout_rng, state.epoch)
+        # per-step fresh dropout mask (global step counter, see train/loop.py)
+        rng = jax.random.fold_in(dropout_rng, state.step)
 
         def loss_fn(params):
             logits, updates = state.apply_fn(
@@ -75,7 +76,7 @@ def make_fusion_steps(model, arch: str = "cross_transformer"):
         new_params = optax.apply_updates(state.params, updates)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return state.replace(params=new_params, batch_stats=new_stats,
-                             opt_state=new_opt), loss, probs
+                             opt_state=new_opt, step=state.step + 1), loss, probs
 
     @jax.jit
     def eval_step(state: TrainState, batch):
@@ -108,7 +109,7 @@ def embed_table_per_fold(table_X, table_y, subjects, train_subjects,
 
 def _fusion_epoch(step_fn, state, loader, mesh, *, train, class_weights=None,
                   dropout_rng=None, prefetch_depth=2):
-    losses, y_true, y_pred, y_score = [], [], [], []
+    losses, labels_l, masks_l, probs_l = [], [], [], []
     for batch in device_prefetch(iter(loader), mesh, depth=prefetch_depth):
         batch = dict(batch)
         batch.pop("subject", None)
@@ -117,15 +118,19 @@ def _fusion_epoch(step_fn, state, loader, mesh, *, train, class_weights=None,
                                          dropout_rng)
         else:
             loss, probs = step_fn(state, batch)
-        probs = np.asarray(probs)
-        mask = np.asarray(batch["mask"]) > 0
-        labels = np.asarray(batch["label"])
-        losses.append(float(loss))
-        y_true.extend(labels[mask].tolist())
-        y_pred.extend(np.argmax(probs, -1)[mask].tolist())
-        y_score.extend(probs[mask, 1].tolist())
-    return state, float(np.mean(losses)), calculate_metrics(y_true, y_pred,
-                                                            y_score)
+        losses.append(loss)
+        probs_l.append(probs)
+        masks_l.append(batch["mask"])
+        labels_l.append(batch["label"])
+    # single end-of-epoch host fetch — no per-step D2H sync (see train/cv.py)
+    probs = np.concatenate([np.asarray(p) for p in probs_l], axis=0)
+    mask = np.concatenate([np.asarray(m) for m in masks_l], axis=0) > 0
+    labels = np.concatenate([np.asarray(lb) for lb in labels_l], axis=0)
+    mean_loss = float(np.mean([float(lo) for lo in losses]))
+    y_true = labels[mask]
+    y_pred = np.argmax(probs, -1)[mask]
+    y_score = probs[mask, 1]
+    return state, mean_loss, calculate_metrics(y_true, y_pred, y_score)
 
 
 def train_fusion_cv(cfg: Config, use_pet: bool = False, use_table: bool = False,

@@ -35,6 +35,11 @@ class TrainState(struct.PyTreeNode):
     epoch: jnp.ndarray  # drives the per-epoch LR schedule
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # global (never-reset) step counter: folded into the dropout rng so
+    # every batch draws a fresh mask, matching torch dropout's per-forward
+    # randomness (reference train_ResNet3D.py:207-224)
+    step: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     def lr(self, schedule):
         return schedule(self.epoch)
@@ -115,7 +120,10 @@ def weighted_ce(logits, labels, class_weights, mask):
 def make_train_step(num_classes: int = 2):
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, class_weights, dropout_rng):
-        rng = jax.random.fold_in(dropout_rng, state.epoch)
+        # fold the global step so each batch gets a fresh dropout mask
+        # (torch re-randomizes per forward; epoch-only folding froze the
+        # mask within an epoch)
+        rng = jax.random.fold_in(dropout_rng, state.step)
 
         def loss_fn(params):
             logits, updates = state.apply_fn(
@@ -133,7 +141,7 @@ def make_train_step(num_classes: int = 2):
         new_params = optax.apply_updates(state.params, updates)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return state.replace(params=new_params, batch_stats=new_stats,
-                             opt_state=new_opt), loss, probs
+                             opt_state=new_opt, step=state.step + 1), loss, probs
 
     return train_step
 

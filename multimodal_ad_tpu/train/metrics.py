@@ -75,6 +75,14 @@ def calculate_metrics_multiclass(y_true, y_pred, y_prob) -> dict:
 
 def model_selection_score(metrics: dict, weights=(0.3, 0.7)) -> float:
     """Best-checkpoint criterion 0.3*AUC + 0.7*ACC
-    (reference train_ResNet3D.py:289)."""
+    (reference train_ResNet3D.py:289).
+
+    AUC is NaN when a validation fold holds a single class (sklearn
+    ValueError, caught above); a NaN score would never beat best_metric and
+    the fold would finish with no best checkpoint, crashing the test-time
+    restore. Fall back to ACC-only so selection still works.
+    """
     w_auc, w_acc = weights
+    if not np.isfinite(metrics["AUC"]):
+        return float(metrics["ACC"])
     return w_auc * metrics["AUC"] + w_acc * metrics["ACC"]

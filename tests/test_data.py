@@ -77,8 +77,23 @@ class TestTransforms:
         tf = VolumeTransform(augment=True, seed=7)
         a = tf(v, sample_idx=3)
         b = tf(v, sample_idx=3)
-        np.testing.assert_array_equal(a, b)  # same sample idx -> same aug
+        np.testing.assert_array_equal(a, b)  # same (epoch, idx) -> same aug
         assert a.shape == (16, 16, 16, 1)
+
+    def test_augment_rerandomizes_per_epoch(self, rng):
+        """MONAI Rand* transforms draw fresh randomness every epoch
+        (reference datasets/ADNI.py:152-158); seeding on sample alone froze
+        augmentation into a fixed dataset perturbation (round-1 bug)."""
+        v = rng.normal(size=(16, 16, 16)).astype(np.float32)
+        tf = VolumeTransform(augment=True, seed=7)
+        diff = 0
+        for idx in range(10):
+            a = tf(v, sample_idx=idx, epoch=0)
+            b = tf(v, sample_idx=idx, epoch=1)
+            diff += int(not np.array_equal(a, b))
+        # each of flip/rotate/zoom fires with p=0.3 per epoch; over 10
+        # samples at least one must get a different draw across epochs
+        assert diff > 0
 
     def test_eval_transform_is_deterministic_and_clean(self, rng):
         """Unlike the reference's augment-leak bug (SURVEY.md §8.3), the
@@ -144,6 +159,30 @@ class TestPipeline:
             assert batch["mask"].shape == (4,)
         assert batches[0]["mask"].sum() == 4
         assert batches[1]["mask"].sum() == 1  # 5th sample + 3 pad rows
+
+    def test_padding_rows_are_real_diverse_samples(self, adni_dir):
+        """Ragged-batch padding cycles REAL samples from the epoch order so
+        unmasked BatchNorm batch statistics aren't biased toward k copies of
+        one row (round-1 advisor finding)."""
+        m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
+                         verbose=False)
+        tf = VolumeTransform(augment=False)
+        b = VolumeBatcher(m.data_dict[:5], tf, batch_size=4)
+        first, last = list(b)
+        # pad rows of the final batch are samples 0,1,2 of this epoch's order
+        np.testing.assert_array_equal(last["image"][1:], first["image"][:3])
+        assert len(last["subject"]) == 1  # subjects list stays real-only
+        # pad rows are mutually distinct volumes, not one row repeated
+        assert not np.array_equal(last["image"][1], last["image"][2])
+
+    def test_batcher_augment_differs_across_epochs(self, adni_dir):
+        m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
+                         verbose=False)
+        tf = VolumeTransform(augment=True, seed=7)
+        b = VolumeBatcher(m.data_dict[:8], tf, batch_size=8)
+        e1 = next(iter(b))["image"]
+        e2 = next(iter(b))["image"]
+        assert not np.array_equal(e1, e2)  # fresh augmentation per epoch
 
     def test_batcher_shuffle_is_epoch_dependent(self, adni_dir):
         m = ADNIManifest(adni_dir["label_file"], adni_dir["mri_dir"], "ADCN",
