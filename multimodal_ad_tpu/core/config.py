@@ -41,6 +41,12 @@ class Config:
     best_metric_weights: tuple = (0.3, 0.7)  # 0.3*AUC + 0.7*ACC (train_ResNet3D.py:289)
 
     # ---- model ----
+    # intensity normalizer: 'scale_intensity' (MONAI ScaleIntensityd
+    # default, reference datasets/ADNI.py:147) or 'adaptive_normal'
+    # (percentile [-1,1], reference datasets/AdaptiveNormal.py:20-51 —
+    # defined there but never wired; selectable here)
+    normalizer: str = "scale_intensity"
+
     model_type: str = "resnet"
     model_depth: int = 18
     input_W: int = 91

@@ -18,23 +18,39 @@ from ..utils import nifti
 GROUPS = ["AD", "CN", "SMCI", "PMCI", "EMCI", "LMCI"]
 
 
-def make_volume(rng: np.random.Generator, shape=(91, 109, 91), label: int = 0):
+def make_volume(rng: np.random.Generator, shape=(91, 109, 91), label: int = 0,
+                extent_jitter: float = 0.0, center_jitter: float = 0.0,
+                noise: float = 0.05):
     """Structured random volume: a smooth blob whose intensity/extent
-    depends weakly on the class label, so tiny models can actually learn."""
+    depends weakly on the class label, so tiny models can actually learn.
+
+    With the default jitters of 0 every volume of a class is identical up to
+    voxel noise (good for fast plumbing tests but trivially separable).
+    `extent_jitter`/`center_jitter` add per-sample variation so the class
+    boundary is *statistical* — a model must genuinely learn the extent
+    feature rather than memorize one prototype (used by the learning-proof
+    test, tests/test_learning.py)."""
     coords = np.meshgrid(*[np.linspace(-1, 1, s, dtype=np.float32) for s in shape],
                          indexing="ij")
+    if center_jitter:
+        shifts = rng.normal(0, center_jitter, size=3)
+        coords = [c - s for c, s in zip(coords, shifts)]
     r2 = sum(c ** 2 for c in coords)
-    base = np.exp(-r2 * (3.0 + 0.8 * label)).astype(np.float32)
-    noise = rng.normal(0, 0.05, shape).astype(np.float32)
-    return (base * (200.0 + 40.0 * label) + noise * 20.0).astype(np.float32)
+    extent = 3.0 + 0.8 * label
+    if extent_jitter:
+        extent += rng.normal(0, extent_jitter)
+    base = np.exp(-r2 * extent).astype(np.float32)
+    vnoise = rng.normal(0, noise, shape).astype(np.float32)
+    return (base * (200.0 + 40.0 * label) + vnoise * 20.0).astype(np.float32)
 
 
 def make_adni_dir(root: str, n_per_class=4, classes=("AD", "CN"),
                   shape=(24, 28, 24), seed: int = 0, gz: bool = False,
-                  pet: bool = False):
+                  pet: bool = False, **volume_kw):
     """Write a miniature ADNI dataset: label CSV + per-subject NIfTI files.
     Returns (label_csv_path, mri_dir) or (csv, mri_dir, pet_dir) with
-    pet=True."""
+    pet=True. Extra kwargs (extent_jitter/center_jitter/noise) pass through
+    to make_volume to control class separability."""
     rng = np.random.default_rng(seed)
     mri_dir = os.path.join(root, "MRI")
     os.makedirs(mri_dir, exist_ok=True)
@@ -45,11 +61,11 @@ def make_adni_dir(root: str, n_per_class=4, classes=("AD", "CN"),
     for ci, group in enumerate(classes):
         for k in range(n_per_class):
             subject = f"{group}_{k:03d}"
-            vol = make_volume(rng, shape, label=ci)
+            vol = make_volume(rng, shape, label=ci, **volume_kw)
             ext = ".nii.gz" if gz else ".nii"
             nifti.save(os.path.join(mri_dir, subject + ext), vol)
             if pet:
-                pvol = make_volume(rng, shape, label=ci) * 0.5
+                pvol = make_volume(rng, shape, label=ci, **volume_kw) * 0.5
                 nifti.save(os.path.join(pet_dir, subject + ext), pvol)
             rows.append({"Subject_ID": subject, "Group": group})
     csv_path = os.path.join(root, "labels.csv")

@@ -181,12 +181,13 @@ class VolumeTransform:
         return vol[..., None]  # (X, Y, Z, 1)
 
 
-def make_transforms(augment: bool = False, seed: int = 0):
+def make_transforms(augment: bool = False, seed: int = 0,
+                    normalizer: str = "scale_intensity"):
     """(train_tf, eval_tf) pair; eval is always deterministic.
 
     Intentionally fixes the reference's slicing bug where augment=True leaks
     random flips/rotations into the *test* transform
     (reference datasets/ADNI.py:152-158; SURVEY.md §8.3).
     """
-    return (VolumeTransform(augment=augment, seed=seed),
-            VolumeTransform(augment=False))
+    return (VolumeTransform(augment=augment, normalizer=normalizer, seed=seed),
+            VolumeTransform(augment=False, normalizer=normalizer))

@@ -88,7 +88,7 @@ def train_unet_autoencoder(cfg: Config, records=None, mesh=None, loader=None,
     train_val, _ = stratified_test_split(records, 0.2, cfg.seed)
     train_data, val_data = stratified_test_split(train_val, 0.2, cfg.seed)
 
-    _, tf_eval = make_transforms(False)
+    _, tf_eval = make_transforms(False, normalizer=cfg.normalizer)
     kw = dict(batch_size=cfg.batch_size, num_threads=cfg.loader_threads)
     if loader is not None:
         kw["loader"] = loader

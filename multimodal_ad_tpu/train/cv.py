@@ -128,7 +128,8 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
         subj_to_idx = {r["Subject"]: i for i, r in enumerate(tr_val)}
 
     logger = CVLogger(cfg.checkpoint_dir)
-    tf_train, tf_eval = make_transforms(cfg.augment, seed=cfg.seed)
+    tf_train, tf_eval = make_transforms(cfg.augment, seed=cfg.seed,
+                                        normalizer=cfg.normalizer)
     schedule = make_epoch_schedule(cfg.lr, cfg.num_epochs, cfg.warmup_frac,
                                    cfg.min_lr_factor)
     train_step = make_train_step(cfg.nb_class)
@@ -147,10 +148,11 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
             loader_tr = DeviceEpochIterator(
                 device_ds, [subj_to_idx[r["Subject"]] for r in train_data],
                 cfg.batch_size, shuffle=True, seed=cfg.seed + fold,
-                subjects=subjects, augment=cfg.augment)
+                subjects=subjects, augment=cfg.augment,
+                normalizer=cfg.normalizer)
             loader_vl = DeviceEpochIterator(
                 device_ds, [subj_to_idx[r["Subject"]] for r in val_data],
-                cfg.batch_size, subjects=subjects)
+                cfg.batch_size, subjects=subjects, normalizer=cfg.normalizer)
         else:
             loader_tr = VolumeBatcher(train_data, tf_train, shuffle=True,
                                       seed=cfg.seed + fold, **batcher_kw)
@@ -280,7 +282,7 @@ def test_models(cfg: Config, test_data, model_factory=None, mesh=None,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         param_dtype=jnp.dtype(cfg.param_dtype)))
 
-    _, tf_eval = make_transforms(False)
+    _, tf_eval = make_transforms(False, normalizer=cfg.normalizer)
     batcher_kw = dict(batch_size=cfg.batch_size, num_threads=cfg.loader_threads)
     if loader is not None:
         batcher_kw["loader"] = loader

@@ -174,7 +174,8 @@ def train_fusion_cv(cfg: Config, use_pet: bool = False, use_table: bool = False,
     train_step, eval_step = make_fusion_steps(model, arch)
 
     logger = CVLogger(cfg.checkpoint_dir, csv_name="fusion_results.csv")
-    tf_train, tf_eval = make_transforms(cfg.augment, seed=cfg.seed)
+    tf_train, tf_eval = make_transforms(cfg.augment, seed=cfg.seed,
+                                        normalizer=cfg.normalizer)
     schedule = make_epoch_schedule(cfg.lr, cfg.num_epochs, cfg.warmup_frac,
                                    cfg.min_lr_factor)
     image_keys = ("MRI", "PET") if use_pet else ("MRI",)

@@ -46,7 +46,8 @@ def train_unet_classifier(cfg: Config, records=None, mesh=None, loader=None,
     train_val, _test = stratified_test_split(records, 0.2, cfg.seed)
     train_data, val_data = stratified_test_split(train_val, 0.2, cfg.seed)
 
-    tf_train, tf_eval = make_transforms(cfg.augment, seed=cfg.seed)
+    tf_train, tf_eval = make_transforms(cfg.augment, seed=cfg.seed,
+                                        normalizer=cfg.normalizer)
     batcher_kw = dict(batch_size=cfg.batch_size, num_threads=cfg.loader_threads)
     if loader is not None:
         batcher_kw["loader"] = loader

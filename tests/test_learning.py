@@ -1,0 +1,113 @@
+"""Learning proof: the flagship CV path reaches high AUC on separable data.
+
+The reference's canonical path exists to reach a real AD-vs-CN AUC
+(reference train_ResNet3D.py:111-333); BASELINE.md's north star is matched
+AUC. This test runs the REAL train_cv pipeline (manifest -> stratified
+splits -> K-fold -> weighted CE -> warmup-cosine Adam -> best-ckpt ->
+fold-ensemble test) on statistically separable synthetic volumes and
+asserts the model actually LEARNS: falling train loss, val AUC >= 0.9,
+above-chance calibrated test accuracy.
+
+Regime notes (why these numbers): BatchNorm running stats start at
+var=1 and burn in as 0.9^steps; with tiny true activation variances the
+eval-mode network is miscalibrated until ~100 optimizer steps have run
+(torch behaves identically — same init, same EMA). The config below yields
+~100 steps per fold so the proof exercises the calibrated regime.
+
+Run `python tests/test_learning.py` to regenerate the committed artifact
+at artifacts/learning_proof/ (cv_results.csv + summary.json).
+"""
+
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def run_learning_proof(work_dir: str):
+    """Train the flagship path on separable volumes; returns (results,
+    ckpt_dir, per-epoch rows)."""
+    import jax
+
+    from multimodal_ad_tpu.core.config import Config
+    from multimodal_ad_tpu.data.synthetic import make_adni_dir
+    from multimodal_ad_tpu.parallel.mesh import make_mesh
+    from multimodal_ad_tpu.train.cv import train_cv
+
+    csv_path, mri_dir = make_adni_dir(
+        work_dir, n_per_class=24, classes=("AD", "CN"), shape=(16, 20, 16),
+        seed=11, extent_jitter=0.3, center_jitter=0.04, noise=0.25)
+    cfg = Config(
+        label_file=csv_path, mri_dir=mri_dir, task="ADCN",
+        num_epochs=16, batch_size=4, lr=1e-3, n_splits=2, model_depth=10,
+        checkpoint_dir=os.path.join(work_dir, "ckpt"),
+        compute_dtype="float32", normalizer="adaptive_normal",
+        loader_threads=2)
+    n_dev = min(4, len(jax.devices()))
+    mesh = make_mesh({"data": n_dev}, devices=jax.devices()[:n_dev])
+    results, ckpt_dir = train_cv(cfg, mesh=mesh, verbose=False)
+    with open(os.path.join(ckpt_dir, "cv_results.csv")) as f:
+        rows = list(csv.reader(f))
+    return results, ckpt_dir, rows
+
+
+def check_learning(results, rows):
+    hdr = rows[0]
+    il, ia = hdr.index("tr_loss"), hdr.index("vl_auc")
+    by_fold = {}
+    for r in rows[1:]:
+        by_fold.setdefault(r[0], []).append(r)
+    for fold, frows in by_fold.items():
+        first_loss = float(frows[0][il])
+        last3 = np.mean([float(r[il]) for r in frows[-3:]])
+        assert last3 < first_loss, (
+            f"fold {fold}: train loss did not decrease "
+            f"({first_loss:.3f} -> {last3:.3f})")
+        final_val_auc = float(frows[-1][ia])
+        assert final_val_auc >= 0.9, (
+            f"fold {fold}: final val AUC {final_val_auc:.3f} < 0.9")
+    # fold-ensemble held-out test: well above chance, calibrated decisions
+    assert results["avg"]["AUC"] >= 0.85, results["avg"]
+    assert results["avg"]["ACC"] >= 0.7, results["avg"]
+
+
+@pytest.mark.slow
+def test_flagship_cv_learns_separable_volumes(tmp_path):
+    results, _, rows = run_learning_proof(str(tmp_path))
+    check_learning(results, rows)
+
+
+if __name__ == "__main__":
+    # regenerate the committed artifact on the faked CPU mesh
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="learning_proof_")
+    results, ckpt_dir, rows = run_learning_proof(work)
+    check_learning(results, rows)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, "artifacts", "learning_proof")
+    os.makedirs(out, exist_ok=True)
+    shutil.copy(os.path.join(ckpt_dir, "cv_results.csv"),
+                os.path.join(out, "cv_results.csv"))
+    with open(os.path.join(out, "summary.json"), "w") as f:
+        json.dump({
+            "test_avg": results["avg"], "test_std": results["std"],
+            "config": "tests/test_learning.py::run_learning_proof",
+            "assertions": "train loss falls; final val AUC >= 0.9 per fold; "
+                          "test AUC >= 0.85; test ACC >= 0.7",
+        }, f, indent=2)
+    print("artifact written to", out)
+    print("test avg:", results["avg"])
