@@ -222,6 +222,12 @@ class ResNet3D(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.depth not in DEPTH_BLOCKS:
             raise ValueError(f"unsupported depth {self.depth}")
+        # flax infers conv input width, so a wrong-channel input would train
+        # silently against the declared config — fail fast instead
+        if x.shape[-1] != self.in_channels:
+            raise ValueError(
+                f"input has {x.shape[-1]} channels, model declares "
+                f"in_channels={self.in_channels}")
         kind, layers = DEPTH_BLOCKS[self.depth]
         block_cls = BasicBlock if kind == "basic" else Bottleneck
         if self.remat:

@@ -87,7 +87,12 @@ bool parse_header(const std::vector<unsigned char>& buf, Header* h) {
   for (int i = 0; i < h->ndim; ++i)
     h->shape[i] = rd_i16(buf.data() + 42 + 2 * i, h->swap);
   h->datatype = rd_i16(buf.data() + 70, h->swap);
+  for (int i = 0; i < h->ndim; ++i)
+    if (h->shape[i] <= 0) return false;  // corrupt dims -> huge/negative n
   h->vox_offset = static_cast<int64_t>(rd_f32(buf.data() + 108, h->swap));
+  // a corrupt/negative vox_offset would point `data` before the buffer and
+  // make `avail` huge -> out-of-bounds read in convert()
+  if (h->vox_offset < kHdrSize) return false;
   h->scl_slope = rd_f32(buf.data() + 112, h->swap);
   h->scl_inter = rd_f32(buf.data() + 116, h->swap);
   if (h->scl_slope == 0.0f || std::isnan(h->scl_slope)) h->scl_slope = 1.0f;

@@ -61,6 +61,27 @@ class TestNativeReader:
         with pytest.raises(ValueError, match="native NIfTI decode failed"):
             nl.load_volume_native(p)
 
+    def test_corrupt_vox_offset_rejected(self, vols, tmp_path):
+        """A negative/garbage vox_offset must be rejected, not read
+        out-of-bounds (header validation in nifti_reader.cpp)."""
+        src = open(vols[0][0], "rb").read()
+        for bad in (np.float32(-1000.0), np.float32(40.0)):
+            buf = bytearray(src)
+            buf[108:112] = bad.tobytes()  # vox_offset field
+            p = str(tmp_path / "bad_off.nii")
+            open(p, "wb").write(bytes(buf))
+            with pytest.raises(ValueError, match="decode failed"):
+                nl.load_volume_native(p)
+
+    def test_corrupt_dim_rejected(self, vols, tmp_path):
+        src = open(vols[0][0], "rb").read()
+        buf = bytearray(src)
+        buf[42:44] = np.int16(-9).tobytes()  # dim[1] <= 0
+        p = str(tmp_path / "bad_dim.nii")
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="decode failed"):
+            nl.load_volume_native(p)
+
     def test_shape_mismatch_rejected(self, vols, tmp_path):
         paths, _ = vols
         dec = nl.NativeBatchDecoder((5, 5, 5))
