@@ -65,6 +65,80 @@ class TestAtlas:
         name, rid, dist = query_world(centers[1], centers, names)
         assert name == "Precentral_L" and rid == 1 and dist < 1e-9
 
+    def test_roi_mni_v7_text_lut(self, tmp_path):
+        """Reference in-tree LUT format: TSV `nom_c nom_l color vol_vox
+        vol_mm3` (reference ROI_MNI_V7_vol.txt:1-5); id = color column."""
+        from multimodal_ad_tpu.eval.atlas import load_text_lut
+
+        p = str(tmp_path / "ROI_MNI_V7_vol.txt")
+        with open(p, "w") as f:
+            f.write("nom_c\tnom_l\tcolor\tvol_vox\tvol_mm3\n")
+            f.write("FAL\tPrecentral_L\t1\t3526\t28208\n")
+            f.write("FAR\tPrecentral_R\t2\t3381\t27048\n")
+            f.write("HIPL\tHippocampus_L\t41\t900\t7200\n")
+        lut = load_text_lut(p)
+        assert lut == {1: "Precentral_L", 2: "Precentral_R",
+                       41: "Hippocampus_L"}
+
+    def test_aal3v1_headerless_text_lut(self, tmp_path):
+        """Reference AAL3v1_1mm.nii.txt format: headerless `id name color`
+        rows."""
+        from multimodal_ad_tpu.eval.atlas import load_text_lut
+
+        p = str(tmp_path / "AAL3v1_1mm.nii.txt")
+        with open(p, "w") as f:
+            f.write("1 Precentral_L 1\n2 Precentral_R 2\n")
+        assert load_text_lut(p) == {1: "Precentral_L", 2: "Precentral_R"}
+
+    def test_load_atlas_with_text_lut(self, atlas_files, tmp_path):
+        nii, _ = atlas_files
+        p = str(tmp_path / "lut.txt")
+        with open(p, "w") as f:
+            f.write("nom_c\tnom_l\tcolor\tvol_vox\tvol_mm3\n")
+            for rid, name in [(1, "A_L"), (2, "A_R"), (4, "B_L"), (5, "C_L")]:
+                f.write(f"x\t{name}\t{rid}\t1\t1\n")
+        _, roi_ids, roi_names, _ = load_atlas(nii, p)
+        assert list(roi_ids) == [1, 2, 4, 5]
+        assert roi_names == ["A_L", "A_R", "B_L", "C_L"]
+
+    def test_resample_1mm_atlas_to_2mm_grid(self, tmp_path):
+        """The in-tree AAL3v1_1mm atlas must land on the 2-mm grid the
+        volumes live on; nearest-neighbor through world coords."""
+        from multimodal_ad_tpu.eval.atlas import resample_labels_nearest
+
+        # 1-mm source grid: identity affine, labels = x-slab ids
+        src = np.zeros((20, 20, 20), np.int32)
+        src[0:10] = 1
+        src[10:20] = 2
+        src_affine = np.eye(4)
+        # 2-mm destination covering the same world box
+        dst_affine = np.diag([2.0, 2.0, 2.0, 1.0])
+        out = resample_labels_nearest(src, src_affine, (10, 10, 10),
+                                      dst_affine)
+        assert out.shape == (10, 10, 10)
+        # dst voxel i maps to world x=2i -> src voxel 2i
+        assert (out[0:5] == 1).all() and (out[5:10] == 2).all()
+        # out-of-source world points -> background 0
+        out2 = resample_labels_nearest(src, src_affine, (10, 10, 10),
+                                       np.diag([4.0, 4.0, 4.0, 1.0]))
+        assert (out2[5:] == 0).all()
+
+    def test_load_atlas_resampled(self, tmp_path):
+        from multimodal_ad_tpu.eval.atlas import load_atlas
+
+        src = np.zeros((20, 20, 20), np.int16)
+        src[:10] = 7
+        src[10:] = 9
+        nii = str(tmp_path / "atlas1mm.nii")
+        nifti.save(nii, src, pixdim=(1, 1, 1))
+        labels, roi_ids, roi_names, affine = load_atlas(
+            nii, None, target_shape=(10, 10, 10),
+            target_affine=np.diag([2.0, 2.0, 2.0, 1.0]))
+        assert labels.shape == (10, 10, 10)
+        assert list(roi_ids) == [7, 9]
+        assert roi_names == ["ROI7", "ROI9"]
+        assert affine[0, 0] == 2.0
+
     def test_overlay_png(self, atlas_files, tmp_path, rng):
         nii, jpath = atlas_files
         labels, roi_ids, _, _ = load_atlas(nii, jpath)
