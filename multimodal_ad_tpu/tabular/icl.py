@@ -312,9 +312,27 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
         n_max = self._cfg.max_context
         if self.context_size is not None:
             n_max = min(n_max, int(self.context_size))
-        if len(X) > n_max:  # subsample context (class-stratified would be
-            rng = np.random.default_rng(self.seed)  # nicer; uniform is fine)
-            sel = rng.choice(len(X), n_max, replace=False)
+        if len(X) > n_max:
+            # Class-stratified context subsampling: allocate slots
+            # proportionally to class frequency but guarantee every class at
+            # least one slot — a uniform draw on an imbalanced clinical
+            # table (e.g. 95/5) can drop the minority class from the
+            # context entirely, making it unpredictable.
+            rng = np.random.default_rng(self.seed)
+            n_cls = len(self.classes_)
+            counts = np.bincount(y_idx, minlength=n_cls)
+            quota = np.maximum(1, np.floor(counts / len(X) * n_max)).astype(int)
+            quota = np.minimum(quota, counts)
+            # distribute any remaining slots to the largest classes
+            while quota.sum() < n_max:
+                room = counts - quota
+                if room.max() <= 0:
+                    break
+                quota[np.argmax(room)] += 1
+            sel = np.concatenate([
+                rng.choice(np.where(y_idx == c)[0], quota[c], replace=False)
+                for c in range(n_cls) if quota[c] > 0])
+            rng.shuffle(sel)
             X, y_idx = X[sel], y_idx[sel]
         pad = self._cfg.max_context - len(X)
         self._fitted = {

@@ -111,6 +111,26 @@ class TestICLClassifier:
         emb = clf.get_embeddings(X[:7])
         assert emb.shape == (1, 7, TINY.d_model)
 
+    def test_stratified_context_keeps_minority_class(self, tiny_params):
+        """On a 95/5 imbalanced table with a small context budget, uniform
+        subsampling can drop the minority class entirely; the stratified
+        subsampler must keep at least one slot per class."""
+        rng = np.random.default_rng(3)
+        n = 400
+        y = (rng.random(n) < 0.05).astype(int)  # ~5% minority
+        y[:2] = 1  # guarantee presence
+        X = rng.normal(size=(n, 6)).astype(np.float32) + 2.5 * y[:, None]
+        clf = ICLClassifier(params=tiny_params, cfg=TINY, context_size=20)
+        clf.fit(X, y)
+        kept = clf._fitted["y_ctx"][0][clf._fitted["ctx_mask"][0] > 0]
+        assert len(kept) == 20
+        assert (kept == 1).sum() >= 1  # minority survived
+        # proportional quota: majority keeps most slots
+        assert (kept == 0).sum() > (kept == 1).sum()
+        # still predicts both classes' probabilities
+        proba = clf.predict_proba(X[:8])
+        assert proba.shape == (8, 2)
+
     def test_too_many_features_raises(self, tiny_params):
         clf = ICLClassifier(params=tiny_params, cfg=TINY)
         with pytest.raises(ValueError, match="max_features"):

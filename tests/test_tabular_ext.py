@@ -172,6 +172,71 @@ class TestInterpretability:
         assert support[1] and support[4]
 
 
+class _FnEstimator:
+    """predict_proba driven by an explicit p(x) — analytic ground truth."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def predict_proba(self, X):
+        p = np.clip(self.fn(np.asarray(X, np.float64)), 0.01, 0.99)
+        return np.stack([1 - p, p], axis=1)
+
+
+class TestShapleyInteractions:
+    """shapiq-capability parity: order-2 Shapley interaction indices
+    (reference interpretability/shapiq.py:20-161, index k-SII max_order=2)."""
+
+    def test_additive_model_has_zero_interactions(self):
+        from multimodal_ad_tpu.tabular.interpretability import (
+            shapley_interaction_values, shapley_values)
+
+        est = _FnEstimator(lambda X: 0.5 + 0.05 * X[:, 0] + 0.03 * X[:, 1])
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(4, 4)).astype(np.float32)
+        bg = np.zeros((1, 4), np.float32)
+        sii = shapley_interaction_values(est, X, background=bg)
+        off = sii.copy()
+        for s in off:
+            np.fill_diagonal(s, 0.0)
+        np.testing.assert_allclose(off, 0.0, atol=1e-9)
+        # diagonal = exact Shapley values of a linear model: a_i * x_i
+        sv = shapley_values(est, X, background=bg)
+        np.testing.assert_allclose(sv[:, 0], 0.05 * X[:, 0], atol=1e-9)
+        np.testing.assert_allclose(sv[:, 1], 0.03 * X[:, 1], atol=1e-9)
+        np.testing.assert_allclose(sv[:, 2:], 0.0, atol=1e-9)
+        np.testing.assert_allclose(sii[:, 0, 0], sv[:, 0], atol=1e-12)
+
+    def test_bilinear_model_interaction_localized(self):
+        from multimodal_ad_tpu.tabular.interpretability import (
+            shapley_interaction_values)
+
+        est = _FnEstimator(lambda X: 0.5 + 0.05 * X[:, 0] * X[:, 1])
+        X = np.ones((1, 4), np.float32) * 2.0
+        bg = np.zeros((1, 4), np.float32)
+        sii = shapley_interaction_values(est, X, background=bg)
+        # exact SII of a bilinear term with zero background:
+        # Delta_01(S) = 0.05*x0*x1 for every S -> SII_01 = 0.05*x0*x1
+        assert sii[0, 0, 1] == pytest.approx(0.05 * 4.0, abs=1e-9)
+        assert abs(sii[0, 2, 3]) < 1e-9
+        assert abs(sii[0, 0, 2]) < 1e-9
+
+    def test_sampled_estimator_matches_exact(self):
+        from multimodal_ad_tpu.tabular.interpretability import (
+            shapley_interaction_values)
+
+        est = _FnEstimator(
+            lambda X: 0.5 + 0.04 * X[:, 0] * X[:, 1] + 0.03 * X[:, 2])
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(2, 4)).astype(np.float32)
+        bg = np.zeros((1, 4), np.float32)
+        exact = shapley_interaction_values(est, X, background=bg)
+        sampled = shapley_interaction_values(
+            est, X, background=bg, n_draws=400, random_state=2,
+            exact_max_features=0)
+        np.testing.assert_allclose(sampled, exact, atol=0.02)
+
+
 @pytest.mark.slow
 class TestICLWrappers:
     """HPO + auto-ensemble over the actual in-context learner."""
