@@ -26,10 +26,13 @@ import time
 import numpy as np
 
 VOL_SHAPE = (91, 109, 91)
-BATCH = 4
+BATCH = 4  # streaming-path batch (host-link bound; batch barely matters)
+SWEEP_BATCHES = (4, 16, 32)  # HBM-resident inference/train sweep
 CPU_TIMED_BATCHES = 2
-TPU_TIMED_BATCHES = 24
 STREAM_TIMED_BATCHES = 6
+# v5e bf16 peak is ~197 TFLOP/s/chip (public spec: 394 TOPS int8 / 197
+# bf16); used only to derive an indicative MFU number
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def synth_volumes(n, seed=0):
@@ -160,7 +163,35 @@ def bench_jax(vols):
     return STREAM_TIMED_BATCHES * batch / dt
 
 
-def bench_jax_hbm_resident(vols):
+def _build_hbm_dataset(vols, mesh):
+    """Upload the corpus to HBM once; returns (dataset, upload_seconds)."""
+    from multimodal_ad_tpu.data.device_cache import DeviceDataset
+
+    volumes = np.stack(vols)[..., None]
+    labels = np.zeros(len(vols), np.int32)
+    t0 = time.time()
+    ds = DeviceDataset(volumes, labels, mesh=mesh)
+    np.asarray(ds.labels)  # fetch = the only true sync on this platform
+    return ds, time.time() - t0, volumes.nbytes
+
+
+def forward_flops_per_volume(model, variables):
+    """Forward GFLOPs/volume from XLA's compiled cost analysis (batch 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        x0 = jnp.zeros((1, *VOL_SHAPE, 1), jnp.float32)
+        cost = fn.lower(variables, x0).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_jax_hbm_resident(vols, ds, mesh, per_device_batch):
     """Steady-state throughput with the corpus cached in HBM (the
     production configuration for ADNI-scale data — data/device_cache.py):
     per-step work is on-device gather + normalize + forward; the host sends
@@ -168,18 +199,11 @@ def bench_jax_hbm_resident(vols):
     import jax
     import jax.numpy as jnp
 
-    from multimodal_ad_tpu.data.device_cache import DeviceDataset
     from multimodal_ad_tpu.models.resnet3d import generate_model
     from multimodal_ad_tpu.ops.normalize import scale_intensity as dev_scale
-    from multimodal_ad_tpu.parallel.mesh import make_mesh, replicate
+    from multimodal_ad_tpu.parallel.mesh import replicate
 
-    mesh = make_mesh({"data": -1})
-    batch = BATCH * mesh.size if mesh.size > 1 else BATCH
-
-    volumes = np.stack(vols)[..., None]
-    labels = np.zeros(len(vols), np.int32)
-    ds = DeviceDataset(volumes, labels, mesh=mesh)
-
+    batch = per_device_batch * mesh.size
     model = generate_model(model_depth=18, nb_class=2)
     x0 = jnp.zeros((1, *VOL_SHAPE, 1), jnp.float32)
     variables = replicate(
@@ -194,33 +218,29 @@ def bench_jax_hbm_resident(vols):
     idx0 = rng.integers(0, ds.n, batch).astype(np.int32)
     np.asarray(step(variables, idx0))  # compile
 
+    timed = max(4, 384 // batch)  # ~constant volume count per measurement
     t0 = time.time()
     outs = [step(variables,
                  rng.integers(0, ds.n, batch).astype(np.int32))
-            for _ in range(TPU_TIMED_BATCHES)]
+            for _ in range(timed)]
     np.asarray(outs[-1])
     dt = time.time() - t0
-    return TPU_TIMED_BATCHES * batch / dt
+    return timed * batch / dt
 
 
-def bench_jax_train(vols, timed_steps: int = 16):
+def bench_jax_train(vols, ds, mesh, per_device_batch):
     """Training-step throughput (fwd+bwd+update) with HBM-resident data."""
     import jax
     import jax.numpy as jnp
 
-    from multimodal_ad_tpu.data.device_cache import DeviceDataset
     from multimodal_ad_tpu.models.resnet3d import generate_model
     from multimodal_ad_tpu.ops.normalize import scale_intensity as dev_scale
-    from multimodal_ad_tpu.parallel.mesh import make_mesh, replicate
+    from multimodal_ad_tpu.parallel.mesh import replicate
     from multimodal_ad_tpu.train.loop import (create_train_state,
                                               make_epoch_schedule,
                                               make_train_step)
 
-    mesh = make_mesh({"data": -1})
-    batch = BATCH * mesh.size if mesh.size > 1 else BATCH
-    ds = DeviceDataset(np.stack(vols)[..., None],
-                       (np.arange(len(vols)) % 2).astype(np.int32), mesh=mesh)
-
+    batch = per_device_batch * mesh.size
     model = generate_model(model_depth=18, nb_class=2)
     rng = np.random.default_rng(0)
     state = create_train_state(
@@ -241,6 +261,7 @@ def bench_jax_train(vols, timed_steps: int = 16):
     state, loss, _ = step(state, idx(), key)  # compile
     np.asarray(loss)
 
+    timed_steps = max(4, 128 // batch)
     t0 = time.time()
     for _ in range(timed_steps):
         state, loss, _ = step(state, idx(), key)
@@ -249,22 +270,70 @@ def bench_jax_train(vols, timed_steps: int = 16):
 
 
 def main():
-    vols = synth_volumes(12)
+    import jax
+    import jax.numpy as jnp
 
-    hbm_vps = bench_jax_hbm_resident(vols)
-    train_vps = bench_jax_train(vols)
+    from multimodal_ad_tpu.models.resnet3d import generate_model
+    from multimodal_ad_tpu.parallel.mesh import make_mesh
+
+    vols = synth_volumes(12)
+    mesh = make_mesh({"data": -1})
+    ds, upload_s, corpus_bytes = _build_hbm_dataset(vols, mesh)
+
+    # flops for MFU (forward; train step ~ 3x forward)
+    model = generate_model(model_depth=18, nb_class=2)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, *VOL_SHAPE, 1), jnp.float32),
+                           train=False)
+    fwd_flops = forward_flops_per_volume(model, variables)
+
+    infer_by_batch, train_by_batch = {}, {}
+    for b in SWEEP_BATCHES:
+        try:
+            infer_by_batch[b] = round(bench_jax_hbm_resident(vols, ds, mesh, b), 2)
+        except Exception as e:  # e.g. HBM pressure at large batch
+            infer_by_batch[b] = None
+            print(f"[warn] infer batch {b} failed: {e}", file=sys.stderr)
+        try:
+            train_by_batch[b] = round(bench_jax_train(vols, ds, mesh, b), 2)
+        except Exception as e:
+            train_by_batch[b] = None
+            print(f"[warn] train batch {b} failed: {e}", file=sys.stderr)
+
+    best_infer_b = max((b for b, v in infer_by_batch.items() if v),
+                       key=lambda b: infer_by_batch[b])
+    best_train_b = max((b for b, v in train_by_batch.items() if v),
+                       key=lambda b: train_by_batch[b])
+    hbm_vps = infer_by_batch[best_infer_b]
+    train_vps = train_by_batch[best_train_b]
+
     stream_vps = bench_jax(vols)
     cpu_vps = bench_cpu_reference(vols)
 
+    n_chips = mesh.size
+    mfu = (hbm_vps * fwd_flops / (n_chips * V5E_BF16_PEAK_FLOPS)
+           if fwd_flops else None)
+    train_mfu = (train_vps * 3 * fwd_flops / (n_chips * V5E_BF16_PEAK_FLOPS)
+                 if fwd_flops else None)
+
     result = {
         "metric": "adni_resnet18_3d_volumes_per_sec_per_chip",
-        "value": round(hbm_vps, 2),
+        "value": round(hbm_vps / n_chips, 2),
         "unit": "volumes/s",
-        "vs_baseline": round(hbm_vps / cpu_vps, 2),
+        "vs_baseline": round(hbm_vps / n_chips / cpu_vps, 2),
         "baseline_cpu_volumes_per_sec": round(cpu_vps, 3),
         "streaming_volumes_per_sec": round(stream_vps, 2),
-        "train_volumes_per_sec": round(train_vps, 2),
-        "batch": BATCH,
+        "train_volumes_per_sec": round(train_vps / n_chips, 2),
+        "infer_by_batch": infer_by_batch,
+        "train_by_batch": train_by_batch,
+        "best_infer_batch": best_infer_b,
+        "best_train_batch": best_train_b,
+        "forward_gflops_per_volume": round(fwd_flops / 1e9, 1),
+        "inference_mfu": round(mfu, 4) if mfu else None,
+        "train_mfu_est": round(train_mfu, 4) if train_mfu else None,
+        "hbm_upload_seconds": round(upload_s, 2),
+        "hbm_upload_mbps": round(corpus_bytes / 1e6 / upload_s, 1),
+        "n_chips": n_chips,
         "volume_shape": list(VOL_SHAPE),
     }
     print(json.dumps(result))
