@@ -19,6 +19,7 @@ def init_apply(model, *args, train=False):
 
 
 class TestDAFT:
+    @pytest.mark.slow
     def test_logits_shape(self):
         model = DAFTResNet(num_classes=2, dtype=jnp.float32)
         img = jnp.zeros((2, 16, 20, 16, 1))
@@ -57,6 +58,7 @@ class TestDAFT:
         np.testing.assert_allclose(np.asarray(out_zero),
                                    np.asarray(out_other_tab), atol=1e-6)
 
+    @pytest.mark.slow
     def test_trains(self):
         import optax
 

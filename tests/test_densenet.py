@@ -19,6 +19,7 @@ def init_vars(model, x):
 
 
 class TestDenseNet:
+    @pytest.mark.slow
     def test_3d_logits(self):
         x = jnp.zeros((2, 16, 20, 16, 1))
         out = SMALL.apply(init_vars(SMALL, x), x, train=False)
@@ -34,6 +35,7 @@ class TestDenseNet:
         out = model.apply(init_vars(model, x), x, train=False)
         assert out.shape == (1, 3)
 
+    @pytest.mark.slow
     def test_odd_inplanes_no_crash(self):
         """growth=6, init=10 -> feature counts not divisible by 4 — the
         configuration class that crashes the reference (denseNet.py:28-30,
@@ -63,6 +65,7 @@ class TestDenseNet:
         assert densenet_3d().spatial_dims == 3
         assert densenet_2d().in_channels == 3
 
+    @pytest.mark.slow
     def test_trains_one_step(self):
         import optax
 

@@ -9,6 +9,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     def test_entry_traces(self):
         """entry() must be jittable; we abstract-trace instead of running the

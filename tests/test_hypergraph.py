@@ -63,6 +63,7 @@ class TestMSHyper:
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y1) * 10.0,
                                    rtol=1e-3, atol=1e-3)
 
+    @pytest.mark.slow
     def test_learns_persistence(self):
         """A few gradient steps reduce forecasting loss on an AR(1) task."""
         import optax

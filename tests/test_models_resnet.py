@@ -33,6 +33,7 @@ class TestResNet3D:
         assert out.shape == (1, 2)
         assert out.dtype == jnp.float32
 
+    @pytest.mark.slow
     def test_bottleneck_classifier(self):
         model = generate_model(model_depth=50, nb_class=2,
                                compute_dtype=jnp.float32)

@@ -14,6 +14,7 @@ def init_vars(model, x):
 
 
 class TestUNet3D:
+    @pytest.mark.slow
     def test_odd_shape_roundtrip(self):
         """91x109x91 in -> 91x109x91 out (reference unet3d.py:163-168
         self-test; pad-to-(96,112,96) happens internally)."""
@@ -55,6 +56,7 @@ class TestUNet3D:
 
 
 class TestUNet3DClassifier:
+    @pytest.mark.slow
     def test_logits_shape_odd_input(self):
         model = UNet3DClassifier(base_ch=4, num_classes=2, dtype=jnp.float32)
         x = jnp.zeros((2, 21, 25, 21, 1))
@@ -70,6 +72,7 @@ class TestUNet3DClassifier:
         dense = variables["params"]["Dense_0"]["kernel"]
         assert dense.shape == (4, 2)  # GAP over base_ch map (train_unet3d.py:137-138)
 
+    @pytest.mark.slow
     def test_train_updates_batch_stats(self):
         model = UNet3DClassifier(base_ch=2, num_classes=2, dtype=jnp.float32)
         x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 16, 1)),

@@ -106,6 +106,7 @@ class TestMetrics:
         assert model_selection_score(m) == pytest.approx(0.8)
 
 
+@pytest.mark.slow
 class TestDropoutRandomness:
     def test_fresh_dropout_mask_per_step(self):
         """Two identical forward/backward steps differing ONLY in the global

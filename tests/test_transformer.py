@@ -138,6 +138,7 @@ class TestMultimodalClassifier:
         with pytest.raises(ValueError, match="requires"):
             m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
 
+    @pytest.mark.slow
     def test_trainable_end_to_end(self):
         """One gradient step decreases loss on a tiny separable batch."""
         import optax
