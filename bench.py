@@ -27,7 +27,11 @@ import numpy as np
 
 VOL_SHAPE = (91, 109, 91)
 BATCH = 4  # streaming-path batch (host-link bound; batch barely matters)
-SWEEP_BATCHES = (4, 16, 32)  # HBM-resident inference/train sweep
+# HBM-resident sweeps. Measured shape on v5e: inference climbs to ~950
+# vols/s and saturates around batch 256-512; training peaks at batch 128
+# (larger batches exceed the backward pass's sweet spot).
+INFER_BATCHES = (4, 32, 128, 512)
+TRAIN_BATCHES = (4, 32, 128)
 CPU_TIMED_BATCHES = 2
 STREAM_TIMED_BATCHES = 6
 # v5e bf16 peak is ~197 TFLOP/s/chip (public spec: 394 TOPS int8 / 197
@@ -288,12 +292,13 @@ def main():
     fwd_flops = forward_flops_per_volume(model, variables)
 
     infer_by_batch, train_by_batch = {}, {}
-    for b in SWEEP_BATCHES:
+    for b in INFER_BATCHES:
         try:
             infer_by_batch[b] = round(bench_jax_hbm_resident(vols, ds, mesh, b), 2)
         except Exception as e:  # e.g. HBM pressure at large batch
             infer_by_batch[b] = None
             print(f"[warn] infer batch {b} failed: {e}", file=sys.stderr)
+    for b in TRAIN_BATCHES:
         try:
             train_by_batch[b] = round(bench_jax_train(vols, ds, mesh, b), 2)
         except Exception as e:
