@@ -88,7 +88,8 @@ class DeviceEpochIterator:
                  shuffle: bool = False, seed: int = 0,
                  normalizer: str = "scale_intensity", subjects=None,
                  augment: bool = False, flip_prob: float = 0.3,
-                 scale_prob: float = 0.3):
+                 rotate_prob: float = 0.3, zoom_prob: float = 0.3,
+                 scale_prob: float = 0.0):
         from ..ops.normalize import NORMALIZERS
 
         self.ds = dataset
@@ -110,6 +111,8 @@ class DeviceEpochIterator:
                 b = dataset.gather(idx)
                 b["image"] = augment_batch(norm(b["image"]), key,
                                            flip_prob=flip_prob,
+                                           rotate_prob=rotate_prob,
+                                           zoom_prob=zoom_prob,
                                            scale_prob=scale_prob)
                 return b
         else:

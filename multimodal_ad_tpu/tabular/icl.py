@@ -122,8 +122,9 @@ class ICLTransformer(nn.Module):
 
 def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
                  n_ctx: int, n_qry: int):
-    """Random-function prior: gaussian/mixed features -> random shallow MLP
-    latent score -> quantile-bucketed labels (+ label noise)."""
+    """Random-function prior: gaussian/mixed/correlated features ->
+    random score (cluster, latent-linear, pairwise-interaction, or shallow
+    MLP) -> quantile-bucketed labels (+ label noise)."""
     F, C = cfg.max_features, cfg.max_classes
     n = n_ctx + n_qry
     x = np.zeros((batch, n, F), np.float32)
@@ -134,7 +135,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
         # label id, so all label embeddings must be meta-trained
         c = int(rng.integers(2, C + 1))
         kind = rng.random()
-        if kind < 0.35:
+        if kind < 0.30:
             # cluster prior: class-conditional gaussians with random
             # separation (covers the "shifted means" regime of clinical
             # tables)
@@ -142,6 +143,32 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
             centers = rng.normal(size=(c, f)).astype(np.float32) * sep
             lab = rng.integers(0, c, n)
             xs = centers[lab] + rng.normal(size=(n, f)).astype(np.float32)
+        elif kind < 0.45:
+            # correlated-latent prior: observed features are linear mixes of
+            # fewer latent factors plus small independent noise, and the
+            # label depends on the LATENTS — recovering it requires
+            # combining near-duplicate features (e.g. differences of highly
+            # correlated columns), a regime clinical tables hit constantly
+            k = int(rng.integers(1, max(2, f // 2) + 1))
+            z = rng.normal(size=(n, k)).astype(np.float32)
+            mix = rng.normal(size=(k, f)).astype(np.float32)
+            eps = rng.uniform(0.02, 0.3)
+            xs = z @ mix + eps * rng.normal(size=(n, f)).astype(np.float32)
+            score = z @ rng.normal(size=k).astype(np.float32)
+            qs = np.quantile(score, np.linspace(0, 1, c + 1)[1:-1])
+            lab = np.digitize(score, qs)
+        elif kind < 0.58:
+            # pairwise-interaction prior: score dominated by products of
+            # feature pairs (XOR-like boundaries that no linear readout of
+            # single features can express)
+            xs = rng.normal(size=(n, f)).astype(np.float32)
+            n_pairs = int(rng.integers(1, 4))
+            score = 0.2 * xs @ rng.normal(size=f).astype(np.float32)
+            for _ in range(n_pairs):
+                i, j = rng.choice(f, 2, replace=False)
+                score = score + rng.normal() * xs[:, i] * xs[:, j]
+            qs = np.quantile(score, np.linspace(0, 1, c + 1)[1:-1])
+            lab = np.digitize(score, qs)
         else:
             # function prior: random shallow MLP score, quantile-bucketed
             xs = rng.normal(size=(n, f)).astype(np.float32)

@@ -120,7 +120,7 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
 
         if cfg.augment and verbose:
             print("[hbm_cache] using device-side augmentation "
-                  "(flip + intensity jitter, ops/augment.py)")
+                  "(flip + rotate + zoom, ops/augment.py)")
         kw = {"loader": loader} if loader is not None else {}
         device_ds = build_device_dataset(tr_val, mesh=mesh,
                                          store_dtype=np.float32,

@@ -139,6 +139,58 @@ class TestDeviceAugment:
             np.asarray(next(iter(it_a))["label"]),
             np.asarray(next(iter(it_p))["label"]))
 
+    def test_rotate_matches_host_numerics(self, rng):
+        """Device rotate (zoom=1) must reproduce the host _rotate_x
+        geometry exactly — same inverse-rotation formula, same clamping."""
+        import jax.numpy as jnp
+
+        from multimodal_ad_tpu.data.transforms import _rotate_x
+        from multimodal_ad_tpu.ops.augment import rotate_zoom_volume
+
+        v = rng.normal(size=(7, 9, 8)).astype(np.float32)
+        for angle in (0.0, 0.05, -0.04):
+            dev = np.asarray(rotate_zoom_volume(
+                jnp.asarray(v[..., None]), jnp.float32(angle),
+                jnp.float32(1.0)))[..., 0]
+            host = _rotate_x(v, angle)
+            np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+    def test_zoom_matches_host_numerics(self, rng):
+        import jax.numpy as jnp
+
+        from multimodal_ad_tpu.data.transforms import rand_zoom
+        from multimodal_ad_tpu.ops.augment import rotate_zoom_volume
+
+        v = rng.normal(size=(7, 9, 8)).astype(np.float32)
+
+        class _Always:
+            def random(self):
+                return 0.0  # force-apply
+
+            def uniform(self, lo, hi):
+                return 0.96
+
+        host = rand_zoom(v, _Always(), prob=0.3)
+        dev = np.asarray(rotate_zoom_volume(
+            jnp.asarray(v[..., None]), jnp.float32(0.0),
+            jnp.float32(0.96)))[..., 0]
+        np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+    def test_random_rotate_zoom_identity_when_disabled(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_ad_tpu.ops.augment import random_rotate_zoom
+
+        x = jnp.asarray(rng.normal(size=(4, 6, 6, 6, 1)), jnp.float32)
+        out = random_rotate_zoom(x, jax.random.PRNGKey(0), rotate_prob=0.0,
+                                 zoom_prob=0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   rtol=1e-6, atol=1e-6)
+        out2 = random_rotate_zoom(x, jax.random.PRNGKey(0), rotate_prob=1.0,
+                                  zoom_prob=1.0, min_zoom=0.9, max_zoom=0.95)
+        assert not np.allclose(np.asarray(out2), np.asarray(x))
+
     def test_intensity_jitter_bounded(self, rng):
         import jax
         import jax.numpy as jnp
