@@ -118,3 +118,80 @@ class TestSpatialSharding:
         xs = jax.device_put(x, spatial_sharding(mesh8, spatial_dim=1))
         out = np.asarray(fwd(replicate(variables, mesh8), xs))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+class Test2DMesh:
+    """Combined data x spatial sharding on one 2-D mesh — the scale-up
+    configuration for volumes too large for one chip at full batch
+    (SURVEY.md §5 names volume size the workload's SP-analogue axis)."""
+
+    def test_dp_by_spatial_forward_matches(self):
+        from flax import linen as nn
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (faked) devices")
+        mesh = make_mesh({"data": 4, "space": 2})
+        assert mesh.axis_names == ("data", "space")
+
+        class C(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(4, (3, 3, 3), padding=1)(x)
+                x = nn.relu(x)
+                return nn.Conv(4, (3, 3, 3), padding=1)(x)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 16, 8, 8, 2)).astype(np.float32)
+        model = C()
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        ref = np.asarray(fwd(variables, jnp.asarray(x)))
+
+        # batch over 'data', volume X axis over 'space'
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+        vs = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), variables)
+        out = fwd(vs, xs)
+        assert len(out.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    def test_2d_mesh_train_step(self):
+        """The full jit'd train step compiles and runs with batch sharded
+        over 'data' and the volume X axis over 'space' simultaneously."""
+        from multimodal_ad_tpu.models.resnet3d import generate_model
+        from multimodal_ad_tpu.train.loop import (create_train_state,
+                                                  make_train_step)
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (faked) devices")
+        mesh = make_mesh({"data": 4, "space": 2})
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.normal(size=(8, 16, 20, 16, 1)).astype(np.float32),
+            "label": (np.arange(8) % 2).astype(np.int32),
+            "mask": np.ones((8,), np.float32),
+        }
+        model = generate_model(model_depth=10, nb_class=2,
+                               compute_dtype=jnp.float32)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   {"image": jnp.asarray(batch["image"][:1])},
+                                   lambda _: 1e-3)
+        state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+            if hasattr(a, "shape") else a, state)
+        dev_batch = {
+            "image": jax.device_put(batch["image"],
+                                    NamedSharding(mesh, P("data", "space"))),
+            "label": jax.device_put(batch["label"],
+                                    NamedSharding(mesh, P("data"))),
+            "mask": jax.device_put(batch["mask"],
+                                   NamedSharding(mesh, P("data"))),
+        }
+        step = make_train_step(2)
+        state, loss, probs = step(state, dev_batch,
+                                  jax.device_put(
+                                      jnp.ones(2),
+                                      NamedSharding(mesh, P())),
+                                  jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        assert np.asarray(probs).shape == (8, 2)
