@@ -22,8 +22,17 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--d-model", type=int, default=None,
                    help="override ICLConfig.d_model (default config if unset)")
+    p.add_argument("--platform", default="cpu",
+                   help="jax platform (default cpu: meta-training streams a "
+                        "fresh host-sampled task every step, so a remote "
+                        "accelerator link becomes the bottleneck)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from flax import serialization
 

@@ -69,6 +69,12 @@ class Config:
     prefetch_depth: int = 2
     loader_threads: int = 8
     resume: bool = False  # mid-training resume (reference has none, SURVEY §5)
+    # Precise-BN: after each train epoch, re-estimate BatchNorm running
+    # stats with current params (one extra forward pass over the train
+    # loader). Fixes eval-mode miscalibration in short runs where the EMA
+    # (init mean=0/var=1, momentum 0.9) hasn't burned in; torch suffers the
+    # same lag, so this is off by default for reference parity.
+    precise_bn: bool = False
     hbm_cache: bool = False  # cache the decoded corpus in HBM (device_cache)
     profile_dir: str = ""  # jax.profiler trace output (empty = off)
 

@@ -219,6 +219,15 @@ def train_cv(cfg: Config, model_factory=None, records=None, mesh=None,
                     train_step, state, loader_tr, mesh, train=True,
                     class_weights=cw, dropout_rng=dropout_rng,
                     prefetch_depth=cfg.prefetch_depth, timer=step_timer)
+            if cfg.precise_bn:
+                from .loop import recompute_batch_stats
+
+                if getattr(loader_tr, "device_resident", False):
+                    stat_batches = iter(loader_tr)
+                else:
+                    stat_batches = device_prefetch(
+                        iter(loader_tr), mesh, depth=cfg.prefetch_depth)
+                state = recompute_batch_stats(state, stat_batches)
             _, vl_loss, vl_m = _run_epoch(
                 eval_step, state, loader_vl, mesh, train=False,
                 prefetch_depth=cfg.prefetch_depth)

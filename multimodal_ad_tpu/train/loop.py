@@ -165,3 +165,54 @@ def make_eval_step():
 
 def next_epoch(state: TrainState) -> TrainState:
     return state.replace(epoch=state.epoch + 1)
+
+
+def make_stats_pass(momentum: float = 0.9):
+    """Precise-BN: recover a batch's RAW BatchNorm statistics from one
+    mutable forward (flax stores the EMA-updated value, so solve
+    batch = (new - m*old) / (1-m))."""
+
+    @jax.jit
+    def stats_pass(state: TrainState, batch):
+        _, upd = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)})
+        return jax.tree_util.tree_map(
+            lambda new, old: (new - momentum * old) / (1.0 - momentum),
+            upd["batch_stats"], state.batch_stats)
+
+    return stats_pass
+
+
+def recompute_batch_stats(state: TrainState, batches, momentum: float = 0.9,
+                          max_batches: int | None = None) -> TrainState:
+    """Precise-BN (arXiv:2105.07576 practice): re-estimate BatchNorm running
+    statistics with the CURRENT parameters by averaging raw batch stats over
+    the loader, replacing the lagging training-time EMA.
+
+    Why: running stats initialize at mean=0/var=1 and converge only as
+    momentum^steps; short runs (or tiny true variances) leave eval-mode
+    predictions miscalibrated long after the model has learned — torch
+    behaves identically. One stats pass after an epoch removes the lag
+    entirely. Opt-in via Config.precise_bn.
+
+    `batches` is any iterable of device-ready batch dicts (the training
+    loader). Returns the state with refreshed batch_stats.
+    """
+    stats_pass = make_stats_pass(momentum)
+    acc = None
+    n = 0
+    for batch in batches:
+        batch = dict(batch)
+        batch.pop("subject", None)
+        raw = stats_pass(state, batch)
+        acc = raw if acc is None else jax.tree_util.tree_map(
+            jnp.add, acc, raw)
+        n += 1
+        if max_batches is not None and n >= max_batches:
+            break
+    if n == 0:
+        return state
+    mean_stats = jax.tree_util.tree_map(lambda a: a / n, acc)
+    return state.replace(batch_stats=mean_stats)

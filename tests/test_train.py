@@ -142,6 +142,43 @@ class TestDropoutRandomness:
 
 
 @pytest.mark.slow
+class TestPreciseBN:
+    def test_recompute_recalibrates_eval(self):
+        """After a few steps the BN running stats (init var=1, EMA 0.9) are
+        far from the true batch stats and eval-mode loss is inflated;
+        precise-BN recomputation with current params must close the gap."""
+        from multimodal_ad_tpu.models.resnet3d import generate_model
+        from multimodal_ad_tpu.train.loop import (create_train_state,
+                                                  make_eval_step,
+                                                  make_train_step,
+                                                  recompute_batch_stats)
+
+        model = generate_model(model_depth=10, nb_class=2, dropout_rate=0.0,
+                               compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(8, 12, 12, 12, 1)).astype(np.float32)
+        # scale down so true activation variances sit far below the BN init
+        x *= 0.05
+        batch = {"image": jnp.asarray(x),
+                 "label": jnp.asarray((np.arange(8) % 2).astype(np.int32)),
+                 "mask": jnp.ones(8)}
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   {"image": batch["image"][:1]},
+                                   lambda _: 1e-3)
+        ts, es = make_train_step(2), make_eval_step()
+        for _ in range(5):
+            state, tr_loss, _ = ts(state, dict(batch), jnp.ones(2),
+                                   jax.random.PRNGKey(1))
+        stale_loss = float(es(state, batch)[0])
+        state2 = recompute_batch_stats(state, [dict(batch)])
+        fresh_loss = float(es(state2, batch)[0])
+        # recomputed stats == this batch's stats -> eval forward == the
+        # train-mode forward the parameters were just optimized against
+        assert fresh_loss <= float(tr_loss) * 1.5 + 1e-3
+        assert fresh_loss < stale_loss
+
+
+@pytest.mark.slow
 class TestEndToEnd:
     def test_cv_train_and_test(self, adni_dir, tmp_path, mesh8):
         """Full miniature pipeline: manifest -> 2-fold CV -> best ckpts ->
