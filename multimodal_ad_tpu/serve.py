@@ -1,0 +1,138 @@
+"""Serving: load a trained fold ensemble and predict on volumes.
+
+The reference's only inference surface is the offline test script
+(reference test.py:96-222 / train_ResNet3D.py:335-446), which rebuilds the
+model per fold and loops folds in Python. For deployment this module
+packages the same fold ensemble behind one object:
+
+- every fold's parameters are STACKED into a leading fold axis and the
+  forward is `jax.vmap`'d over it — one compiled executable evaluates all
+  folds in a single device launch (fold-parallel on the MXU) instead of K
+  sequential forwards,
+- inputs are padded to a static batch so one compilation serves any
+  request size,
+- probabilities are averaged over folds on device; only the final
+  (B, num_classes) array crosses back to host.
+
+Usage:
+    pred = EnsemblePredictor.from_checkpoint_dir("checkpoints/")
+    proba = pred.predict_proba(volumes)   # (n, X, Y, Z[, C]) -> (n, C)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import Config
+from .data.transforms import VolumeTransform
+from .models.resnet3d import generate_model
+from .train import checkpoint as ckpt
+from .train.loop import create_train_state, make_epoch_schedule
+
+
+def _stack_trees(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+class EnsemblePredictor:
+    """Fold-ensemble classifier over 3D volumes (one vmapped executable)."""
+
+    def __init__(self, model, fold_variables: list, batch_size: int = 8,
+                 normalizer: str = "scale_intensity"):
+        self.model = model
+        self.n_folds = len(fold_variables)
+        self.batch_size = int(batch_size)
+        self.transform = VolumeTransform(augment=False, normalizer=normalizer)
+        self._stacked = _stack_trees(fold_variables)
+
+        def one_fold(variables, x):
+            return jax.nn.softmax(
+                model.apply(variables, x, train=False).astype(jnp.float32),
+                axis=-1)
+
+        # vmap over the stacked fold axis; mean over folds on device
+        self._fwd = jax.jit(
+            lambda stacked, x: jnp.mean(
+                jax.vmap(one_fold, in_axes=(0, None))(stacked, x), axis=0))
+
+    # ---- construction -------------------------------------------------
+
+    @classmethod
+    def from_checkpoint_dir(cls, ckpt_dir: str, cfg: Config | None = None,
+                            prefix: str = "best_fold",
+                            batch_size: int | None = None):
+        """Load every `{prefix}{k}` checkpoint (k = 1..) from a train_cv
+        output directory. The training config is recovered from the
+        checkpoints' meta.json unless `cfg` is given."""
+        folds = []
+        k = 1
+        while os.path.isdir(os.path.join(ckpt_dir, f"{prefix}{k}")):
+            folds.append(os.path.join(ckpt_dir, f"{prefix}{k}"))
+            k += 1
+        if not folds:
+            raise FileNotFoundError(f"no {prefix}* checkpoints in {ckpt_dir}")
+
+        if cfg is None:
+            meta_path = os.path.join(folds[0], "meta.json")
+            with open(meta_path) as f:
+                cfg = Config.from_dict(json.load(f).get("config", {}))
+
+        model = generate_model(
+            model_type=cfg.model_type, model_depth=cfg.model_depth,
+            resnet_shortcut=cfg.resnet_shortcut, nb_class=cfg.nb_class,
+            dropout_rate=cfg.dropout_rate, in_channels=cfg.in_channels,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            param_dtype=jnp.dtype(cfg.param_dtype))
+        shape = (cfg.input_W, cfg.input_H, cfg.input_D)
+        schedule = make_epoch_schedule(cfg.lr, cfg.num_epochs)
+        template = create_train_state(
+            model, jax.random.PRNGKey(0),
+            {"image": jnp.zeros((1, *shape, cfg.in_channels), jnp.float32)},
+            schedule, cfg.weight_decay, cfg.grad_clip_norm, "adam")
+
+        variables = []
+        for path in folds:
+            state, _ = ckpt.restore_state(path, template)
+            variables.append({"params": state.params,
+                              "batch_stats": state.batch_stats})
+        return cls(model, variables, batch_size=batch_size or cfg.batch_size,
+                   normalizer=cfg.normalizer)
+
+    # ---- inference -----------------------------------------------------
+
+    def predict_proba(self, volumes, preprocess: bool = True) -> np.ndarray:
+        """(n, X, Y, Z) or (n, X, Y, Z, C) host volumes -> (n, C) fold-mean
+        probabilities. Requests are chunked/padded to the static batch so
+        any n reuses one compilation."""
+        vols = np.asarray(volumes, np.float32)
+        if preprocess:
+            vols = np.stack([
+                self.transform(v if v.ndim == 3 else v[..., 0])
+                for v in vols])
+        elif vols.ndim == 4:
+            vols = vols[..., None]
+        n = vols.shape[0]
+        bs = self.batch_size
+        out = []
+        for i in range(0, n, bs):
+            chunk = vols[i:i + bs]
+            real = chunk.shape[0]
+            if real < bs:  # static-shape pad; padded rows discarded below
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - real, axis=0)])
+            probs = np.asarray(self._fwd(self._stacked, jnp.asarray(chunk)))
+            out.append(probs[:real])
+        return np.concatenate(out, axis=0)
+
+    def predict(self, volumes, preprocess: bool = True) -> np.ndarray:
+        """Argmax labels; binary uses the reference's prob>0.5 rule
+        (train_ResNet3D.py:388)."""
+        proba = self.predict_proba(volumes, preprocess=preprocess)
+        if proba.shape[1] == 2:
+            return (proba[:, 1] > 0.5).astype(np.int32)
+        return np.argmax(proba, axis=1).astype(np.int32)

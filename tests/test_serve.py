@@ -1,0 +1,93 @@
+"""Serving: vmapped fold-ensemble predictor over trained checkpoints."""
+
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.core.config import Config
+from multimodal_ad_tpu.data.synthetic import make_adni_dir, make_volume
+
+SHAPE = (16, 20, 16)
+
+
+@pytest.fixture(scope="module")
+def trained_ckpts(tmp_path_factory):
+    """A real 2-fold train_cv run to serve from."""
+    from multimodal_ad_tpu.train.cv import train_cv
+
+    root = str(tmp_path_factory.mktemp("serve"))
+    csv_path, mri_dir = make_adni_dir(root, n_per_class=8,
+                                      classes=("AD", "CN"), shape=SHAPE,
+                                      seed=3)
+    cfg = Config(label_file=csv_path, mri_dir=mri_dir, task="ADCN",
+                 num_epochs=2, batch_size=8, lr=1e-3, n_splits=2,
+                 model_depth=10, checkpoint_dir=root + "/ckpt",
+                 compute_dtype="float32", loader_threads=2,
+                 input_W=SHAPE[0], input_H=SHAPE[1], input_D=SHAPE[2])
+    train_cv(cfg, verbose=False)
+    return cfg
+
+
+@pytest.mark.slow
+class TestEnsemblePredictor:
+    def test_matches_python_loop_ensemble(self, trained_ckpts):
+        """The single vmapped executable must equal the per-fold python
+        loop average (the reference test.py semantics)."""
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_ad_tpu.models.resnet3d import generate_model
+        from multimodal_ad_tpu.serve import EnsemblePredictor
+        from multimodal_ad_tpu.train import checkpoint as ckpt
+        from multimodal_ad_tpu.train.loop import (create_train_state,
+                                                  make_epoch_schedule)
+
+        cfg = trained_ckpts
+        pred = EnsemblePredictor.from_checkpoint_dir(cfg.checkpoint_dir)
+        assert pred.n_folds == 2
+
+        rng = np.random.default_rng(0)
+        vols = np.stack([make_volume(rng, SHAPE, label=i % 2)
+                         for i in range(4)])
+        proba = pred.predict_proba(vols)
+        assert proba.shape == (4, 2)
+        np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-5)
+
+        # manual per-fold average
+        model = generate_model(model_depth=10, nb_class=2,
+                               compute_dtype=jnp.float32)
+        template = create_train_state(
+            model, jax.random.PRNGKey(0),
+            {"image": jnp.zeros((1, *SHAPE, 1), jnp.float32)},
+            make_epoch_schedule(cfg.lr, cfg.num_epochs), cfg.weight_decay,
+            cfg.grad_clip_norm, "adam")
+        x = np.stack([pred.transform(v) for v in vols])
+        accs = []
+        for k in (1, 2):
+            state, _ = ckpt.restore_state(
+                f"{cfg.checkpoint_dir}/best_fold{k}", template)
+            logits = model.apply({"params": state.params,
+                                  "batch_stats": state.batch_stats},
+                                 jnp.asarray(x), train=False)
+            accs.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+        manual = np.mean(accs, axis=0)
+        np.testing.assert_allclose(proba, manual, rtol=1e-4, atol=1e-5)
+
+    def test_ragged_request_padding(self, trained_ckpts):
+        from multimodal_ad_tpu.serve import EnsemblePredictor
+
+        cfg = trained_ckpts
+        pred = EnsemblePredictor.from_checkpoint_dir(cfg.checkpoint_dir,
+                                                     batch_size=4)
+        rng = np.random.default_rng(1)
+        vols = np.stack([make_volume(rng, SHAPE, label=i % 2)
+                         for i in range(7)])  # 4 + ragged 3
+        proba = pred.predict_proba(vols)
+        assert proba.shape == (7, 2)
+        labels = pred.predict(vols)
+        assert labels.shape == (7,)
+        assert set(np.unique(labels)) <= {0, 1}
+        # chunking must not change results vs one big batch
+        pred8 = EnsemblePredictor.from_checkpoint_dir(cfg.checkpoint_dir,
+                                                      batch_size=8)
+        np.testing.assert_allclose(proba, pred8.predict_proba(vols),
+                                   rtol=1e-4, atol=1e-5)
