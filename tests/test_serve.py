@@ -72,6 +72,22 @@ class TestEnsemblePredictor:
         manual = np.mean(accs, axis=0)
         np.testing.assert_allclose(proba, manual, rtol=1e-4, atol=1e-5)
 
+    def test_predict_cli(self, trained_ckpts, tmp_path):
+        import csv
+
+        from multimodal_ad_tpu.cli.predict import main
+
+        cfg = trained_ckpts
+        out = str(tmp_path / "pred.csv")
+        main(["--ckpt-dir", cfg.checkpoint_dir,
+              "--label-file", cfg.label_file, "--mri-dir", cfg.mri_dir,
+              "--task", "ADCN", "--out", out])
+        rows = list(csv.reader(open(out)))
+        assert rows[0] == ["Subject_ID", "pred", "prob_0", "prob_1"]
+        assert len(rows) == 1 + 16
+        for r in rows[1:]:
+            assert abs(float(r[2]) + float(r[3]) - 1.0) < 1e-4
+
     def test_ragged_request_padding(self, trained_ckpts):
         from multimodal_ad_tpu.serve import EnsemblePredictor
 
