@@ -97,7 +97,8 @@ class AutoICLClassifier(ClassifierMixin, BaseEstimator):
         est = (clone(self.base_estimator) if self.base_estimator is not None
                else ICLClassifier())
         est.set_params(softmax_temperature=trial["softmax_temperature"],
-                       context_size=trial["context_size"], seed=trial["seed"])
+                       context_size=trial["context_size"], seed=trial["seed"],
+                       preprocess=trial["preprocess"])
         return est
 
     def fit(self, X, y):

@@ -10,7 +10,9 @@ competitive).
 
 Search space (ICLClassifier inference knobs):
 - softmax_temperature, context_size, context subsample seed,
-- feature preprocessing: none (z-score is built in) or quantile-uniform.
+- feature preprocessing: none (z-score is built in), quantile rank-gauss,
+  or ZCA whitening (the reference's TabPFN HPO likewise searches a
+  preprocessing-transform dimension, hpo/search_space.py:18-244).
 """
 
 from __future__ import annotations
@@ -18,7 +20,6 @@ from __future__ import annotations
 import numpy as np
 from sklearn.base import BaseEstimator, ClassifierMixin, clone
 from sklearn.model_selection import StratifiedKFold
-from sklearn.preprocessing import QuantileTransformer
 
 from .scoring import score_classification
 
@@ -29,7 +30,8 @@ def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
         "context_size": int(rng.choice(
             [s for s in (64, 128, 256, 512) if s <= max(64, n_train)])),
         "seed": int(rng.integers(0, 10_000)),
-        "quantile_transform": bool(rng.random() < 0.4),
+        "preprocess": [None, None, "quantile", "whiten"][
+            int(rng.integers(0, 4))],
     }
 
 
@@ -50,7 +52,8 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
         est = (clone(self.base_estimator) if self.base_estimator is not None
                else ICLClassifier())
         est.set_params(softmax_temperature=trial["softmax_temperature"],
-                       context_size=trial["context_size"], seed=trial["seed"])
+                       context_size=trial["context_size"], seed=trial["seed"],
+                       preprocess=trial["preprocess"])
         return est
 
     def fit(self, X, y):
@@ -66,17 +69,9 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
             trial = default_search_space(rng, len(X))
             scores = []
             for tr, vl in kf.split(X, y):
-                Xt, Xv = X[tr], X[vl]
-                if trial["quantile_transform"]:
-                    qt = QuantileTransformer(
-                        n_quantiles=min(64, len(tr)),
-                        output_distribution="normal",
-                        random_state=0)
-                    Xt = qt.fit_transform(Xt)
-                    Xv = qt.transform(Xv)
-                est = self._make(trial).fit(Xt, y[tr])
+                est = self._make(trial).fit(X[tr], y[tr])
                 scores.append(score_classification(
-                    self.metric, y[vl], est.predict_proba(Xv)))
+                    self.metric, y[vl], est.predict_proba(X[vl])))
             score = float(np.nanmean(scores))
             if self.verbose:
                 print(f"[hpo] trial {t}: {trial} -> {score:.4f}")
@@ -85,22 +80,11 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
 
         self.best_params_ = best_trial
         self.best_score_ = best_score
-        self._qt = None
-        Xf = X
-        if best_trial["quantile_transform"]:
-            self._qt = QuantileTransformer(
-                n_quantiles=min(64, len(X)), output_distribution="normal",
-                random_state=0)
-            Xf = self._qt.fit_transform(X)
-        self.best_estimator_ = self._make(best_trial).fit(Xf, y)
+        self.best_estimator_ = self._make(best_trial).fit(X, y)
         return self
 
-    def _transform(self, X):
-        X = np.asarray(X, np.float32)
-        return self._qt.transform(X) if self._qt is not None else X
-
     def predict(self, X):
-        return self.best_estimator_.predict(self._transform(X))
+        return self.best_estimator_.predict(X)
 
     def predict_proba(self, X):
-        return self.best_estimator_.predict_proba(self._transform(X))
+        return self.best_estimator_.predict_proba(X)

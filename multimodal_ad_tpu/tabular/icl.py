@@ -145,16 +145,26 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
             xs = centers[lab] + rng.normal(size=(n, f)).astype(np.float32)
         elif kind < 0.45:
             # correlated-latent prior: observed features are linear mixes of
-            # fewer latent factors plus small independent noise, and the
-            # label depends on the LATENTS — recovering it requires
-            # combining near-duplicate features (e.g. differences of highly
-            # correlated columns), a regime clinical tables hit constantly
+            # fewer latent factors plus small independent noise — the
+            # near-duplicate-columns regime clinical tables hit constantly.
+            # Half the tasks score on the LATENTS; the other half draw the
+            # signal direction in WHITENED coordinates, so low-variance
+            # residual directions (differences of highly correlated
+            # features) are as likely to carry the label as the dominant
+            # factors — without this the learner meta-learns to ignore
+            # exactly those directions.
             k = int(rng.integers(1, max(2, f // 2) + 1))
             z = rng.normal(size=(n, k)).astype(np.float32)
             mix = rng.normal(size=(k, f)).astype(np.float32)
             eps = rng.uniform(0.02, 0.3)
             xs = z @ mix + eps * rng.normal(size=(n, f)).astype(np.float32)
-            score = z @ rng.normal(size=k).astype(np.float32)
+            if rng.random() < 0.5:
+                score = z @ rng.normal(size=k).astype(np.float32)
+            else:
+                cov = np.cov(xs, rowvar=False) + 1e-6 * np.eye(f)
+                evals, evecs = np.linalg.eigh(cov)
+                w = evecs @ (rng.normal(size=f) / np.sqrt(evals))
+                score = (xs - xs.mean(0)) @ w.astype(np.float32)
             qs = np.quantile(score, np.linspace(0, 1, c + 1)[1:-1])
             lab = np.digitize(score, qs)
         elif kind < 0.58:
@@ -278,8 +288,18 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
     (get_embeddings returns (n_estimators=1, n, d) like TabPFN v2 so the
     embedding harness's `[0]` indexing works — reference tabel_test.py:70).
     sklearn get_params/set_params/clone work, so the ensemble/HPO/RF-hybrid
-    wrappers compose with it. `softmax_temperature` and `context_size` are
-    the inference-time knobs the HPO searches.
+    wrappers compose with it. `softmax_temperature`, `context_size` and
+    `preprocess` are the inference-time knobs the HPO searches — mirroring
+    TabPFN's preprocessing-transform search dimension (reference
+    hpo/search_space.py:18-244). `preprocess` options:
+
+    - None: context z-scoring only (built into the forward),
+    - 'whiten': ZCA whitening fit on the training set — equalizes variance
+      across ALL directions, exposing signal hidden in low-variance
+      residuals of near-duplicate features (e.g. a difference of two 99%-
+      correlated clinical measurements),
+    - 'quantile': rank-gauss per-feature transform (robust to heavy tails
+      and monotone distortions).
 
     Meta-trained weights are shared process-wide per (cfg, seed,
     pretrain_steps) so clones don't re-pretrain.
@@ -290,13 +310,15 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
     def __init__(self, params=None, cfg: ICLConfig | None = None,
                  pretrain_steps: int = 300, seed: int = 0,
                  softmax_temperature: float = 1.0,
-                 context_size: int | None = None):
+                 context_size: int | None = None,
+                 preprocess: str | None = None):
         self.params = params
         self.cfg = cfg
         self.pretrain_steps = pretrain_steps
         self.seed = seed
         self.softmax_temperature = softmax_temperature
         self.context_size = context_size
+        self.preprocess = preprocess
 
     @property
     def _cfg(self) -> ICLConfig:
@@ -328,8 +350,48 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
                 f"{X.shape[1]} features > max_features={F}; raise ICLConfig.max_features")
         return np.pad(X, ((0, 0), (0, F - X.shape[1])))
 
+    def _fit_preprocess(self, X):
+        """Fit the optional feature transform on the raw training matrix
+        and return the transformed matrix (before padding)."""
+        X = np.nan_to_num(np.asarray(X, np.float32),
+                          nan=0.0, posinf=0.0, neginf=0.0)
+        if self.preprocess is None:
+            self._pre = None
+            return X
+        if self.preprocess == "whiten":
+            mu = X.mean(0)
+            cov = np.cov(X - mu, rowvar=False)
+            cov = np.atleast_2d(cov) + 1e-6 * np.eye(X.shape[1])
+            evals, evecs = np.linalg.eigh(cov)
+            # clip tiny eigenvalues RELATIVE to the largest so pure-noise
+            # directions are not blown up to unit scale
+            evals = np.maximum(evals, 1e-4 * evals.max() + 1e-12)
+            zca = (evecs / np.sqrt(evals)) @ evecs.T
+            self._pre = ("whiten", mu.astype(np.float32),
+                         zca.astype(np.float32))
+            return (X - mu) @ self._pre[2]
+        if self.preprocess == "quantile":
+            from sklearn.preprocessing import QuantileTransformer
+
+            qt = QuantileTransformer(
+                n_quantiles=min(64, len(X)), output_distribution="normal",
+                random_state=0).fit(X)
+            self._pre = ("quantile", qt)
+            return qt.transform(X).astype(np.float32)
+        raise ValueError(f"unknown preprocess={self.preprocess!r}")
+
+    def _apply_preprocess(self, X):
+        X = np.nan_to_num(np.asarray(X, np.float32),
+                          nan=0.0, posinf=0.0, neginf=0.0)
+        pre = getattr(self, "_pre", None)
+        if pre is None:
+            return X
+        if pre[0] == "whiten":
+            return (X - pre[1]) @ pre[2]
+        return pre[1].transform(X).astype(np.float32)
+
     def fit(self, X, y):
-        X = self._pad_features(X)
+        X = self._pad_features(self._fit_preprocess(X))
         y = np.asarray(y)
         self.classes_, y_idx = np.unique(y, return_inverse=True)
         if len(self.classes_) > self._cfg.max_classes:
@@ -390,7 +452,7 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
         if getattr(self, "_fitted", None) is None:
             raise RuntimeError("fit() first")
         params = self._ensure_params()
-        Xq = self._pad_features(X)[None]
+        Xq = self._pad_features(self._apply_preprocess(X))[None]
         logits, q_emb, c_emb = self._forward(
             params, jnp.asarray(self._fitted["x_ctx"]),
             jnp.asarray(self._fitted["y_ctx"]),

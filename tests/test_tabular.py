@@ -136,6 +136,58 @@ class TestICLClassifier:
         with pytest.raises(ValueError, match="max_features"):
             clf.fit(np.zeros((10, 40)), np.zeros(10))
 
+    def test_whiten_preprocess_semantics(self, tiny_params):
+        """ZCA whitening fit on the train set maps it to (near-)identity
+        covariance and applies the SAME affine map to queries."""
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(200, 1))
+        X = np.concatenate([base + 0.05 * rng.normal(size=(200, 1)),
+                            base - 0.05 * rng.normal(size=(200, 1)),
+                            rng.normal(size=(200, 3))], 1).astype(np.float32)
+        clf = ICLClassifier(params=tiny_params, cfg=TINY, preprocess="whiten")
+        Xw = clf._fit_preprocess(X)
+        cov = np.cov(Xw, rowvar=False)
+        np.testing.assert_allclose(cov, np.eye(5), atol=0.05)
+        # queries go through the identical affine map
+        np.testing.assert_allclose(clf._apply_preprocess(X[:13]), Xw[:13],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_whiten_exposes_correlated_residual_signal(self, tiny_params):
+        """Label hidden in the difference of two 99%-correlated features
+        (benchmarks/icl_quality.py family_correlated): without whitening the
+        z-scored inputs bury the signal at ~0.07 sigma; with ZCA whitening
+        it becomes a plain unit-scale linear boundary."""
+        rng = np.random.default_rng(11)
+        n = 240
+        base = rng.normal(size=(n, 1))
+        X = np.concatenate([base + 0.05 * rng.normal(size=(n, 1)),
+                            base - 0.05 * rng.normal(size=(n, 1)),
+                            rng.normal(size=(n, 4))], 1).astype(np.float32)
+        y = (X[:, 0] - X[:, 1] > 0).astype(int)
+        tr, te = slice(0, 160), slice(160, None)
+        white = ICLClassifier(params=tiny_params, cfg=TINY,
+                              preprocess="whiten").fit(X[tr], y[tr])
+        acc_w = float((white.predict(X[te]) == y[te]).mean())
+        plain = ICLClassifier(params=tiny_params, cfg=TINY).fit(X[tr], y[tr])
+        acc_p = float((plain.predict(X[te]) == y[te]).mean())
+        assert acc_w >= 0.75, f"whitened in-context accuracy too low: {acc_w}"
+        assert acc_w > acc_p + 0.1, (acc_w, acc_p)
+
+    def test_quantile_preprocess_clone_roundtrip(self, tiny_params):
+        """preprocess rides get_params/set_params so sklearn clone (and the
+        HPO/ensemble wrappers that rely on it) preserve it."""
+        from sklearn.base import clone
+
+        X, y = separable_data(n=60, f=5, seed=9)
+        X = np.exp(X)  # heavy-tailed monotone distortion
+        proto = ICLClassifier(params=tiny_params, cfg=TINY,
+                              preprocess="quantile")
+        clf = clone(proto)
+        assert clf.preprocess == "quantile"
+        clf.fit(X[:40], y[:40])
+        acc = (clf.predict(X[40:]) == y[40:]).mean()
+        assert acc >= 0.8, f"rank-gauss in-context accuracy too low: {acc}"
+
 
 @pytest.mark.slow
 class TestOoFEmbedding:
