@@ -3,8 +3,17 @@ save the weights (the bundled `assets/icl_default.msgpack` was produced by
 this CLI).
 
 Usage:
-    python -m multimodal_ad_tpu.cli.pretrain_icl --steps 4000 --out \
-        multimodal_ad_tpu/assets/icl_default.msgpack
+    python -m multimodal_ad_tpu.cli.pretrain_icl --steps 4500 --n-ctx 256 \
+        --out multimodal_ad_tpu/assets/icl_default.msgpack
+    # long-context adaptation phase (warm start from the phase-1 weights):
+    python -m multimodal_ad_tpu.cli.pretrain_icl --steps 1200 --n-ctx 512 \
+        --lr 1e-4 --resume-from multimodal_ad_tpu/assets/icl_default.msgpack \
+        --out multimodal_ad_tpu/assets/icl_default.msgpack
+
+Tasks draw variable valid context lengths (see `sample_tasks`), so one run
+already covers context sizes up to --n-ctx; the second phase extends
+coverage to `max_context` cheaply (attention cost is quadratic in context,
+so bulk training at the longest context would waste steps).
 """
 
 from __future__ import annotations
@@ -22,6 +31,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--d-model", type=int, default=None,
                    help="override ICLConfig.d_model (default config if unset)")
+    p.add_argument("--resume-from", default=None,
+                   help="warm-start weights (msgpack from a previous phase)")
     p.add_argument("--platform", default="cpu",
                    help="jax platform (default cpu: meta-training streams a "
                         "fresh host-sampled task every step, so a remote "
@@ -39,9 +50,28 @@ def main(argv=None):
     from ..tabular.icl import ICLConfig, pretrain_icl
 
     cfg = ICLConfig() if args.d_model is None else ICLConfig(d_model=args.d_model)
+    init_params = None
+    if args.resume_from:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..tabular.icl import ICLTransformer, sample_tasks
+
+        model = ICLTransformer(cfg)
+        t = sample_tasks(np.random.default_rng(0), 1, cfg, 8, 4)
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(t["x_ctx"]),
+            jnp.asarray(t["y_ctx"]), jnp.asarray(t["ctx_mask"]),
+            jnp.asarray(t["x_qry"]))
+        with open(args.resume_from, "rb") as f:
+            init_params = serialization.from_bytes(template, f.read())
+        print(f"warm start from {args.resume_from}")
+
     params, _ = pretrain_icl(cfg, steps=args.steps, batch=args.batch,
                              n_ctx=args.n_ctx, n_qry=args.n_qry, lr=args.lr,
-                             seed=args.seed, verbose=True)
+                             seed=args.seed, verbose=True,
+                             init_params=init_params)
     blob = serialization.to_bytes(params)
     with open(args.out, "wb") as f:
         f.write(blob)

@@ -121,10 +121,17 @@ class ICLTransformer(nn.Module):
 # ----------------------------------------------------------------------
 
 def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
-                 n_ctx: int, n_qry: int):
+                 n_ctx: int, n_qry: int, var_ctx: bool = True):
     """Random-function prior: gaussian/mixed/correlated features ->
     random score (cluster, latent-linear, pairwise-interaction, or shallow
-    MLP) -> quantile-bucketed labels (+ label noise)."""
+    MLP) -> quantile-bucketed labels (+ label noise).
+
+    With ``var_ctx`` each task draws a random VALID context length in
+    [16, n_ctx] (physical shape stays static; the tail is zeroed and masked
+    out). Inference-time contexts range anywhere up to
+    ``ICLConfig.max_context``, so the network must be meta-trained across
+    context sizes — a fixed fully-valid n_ctx leaves every other context
+    size (and masked-key attention itself) out of distribution."""
     F, C = cfg.max_features, cfg.max_classes
     n = n_ctx + n_qry
     x = np.zeros((batch, n, F), np.float32)
@@ -195,9 +202,16 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
         lab = np.where(flip, rng.integers(0, c, n), lab)
         x[b, :, :f] = xs
         y[b] = lab
+    ctx_mask = np.ones((batch, n_ctx), np.float32)
+    if var_ctx and n_ctx > 16:
+        for b in range(batch):
+            n_valid = int(rng.integers(16, n_ctx + 1))
+            ctx_mask[b, n_valid:] = 0.0
+            x[b, n_valid:n_ctx] = 0.0
+            y[b, n_valid:n_ctx] = 0
     return {
         "x_ctx": x[:, :n_ctx], "y_ctx": y[:, :n_ctx].astype(np.int32),
-        "ctx_mask": np.ones((batch, n_ctx), np.float32),
+        "ctx_mask": ctx_mask,
         "x_qry": x[:, n_ctx:], "y_qry": y[:, n_ctx:].astype(np.int32),
     }
 
@@ -212,16 +226,25 @@ def _zscore_by_ctx(x_ctx, x_qry, ctx_mask):
 
 def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
                  batch: int = 32, n_ctx: int = 96, n_qry: int = 32,
-                 lr: float = 3e-4, seed: int = 0, verbose: bool = False):
+                 lr: float = 3e-4, seed: int = 0, verbose: bool = False,
+                 init_params=None):
     """Meta-train the prior-fitted network on synthetic tasks; returns
     (params, cfg). One jit'd step; host prior sampling overlaps device
-    compute via simple lookahead."""
+    compute via simple lookahead.
+
+    ``init_params`` warm-starts from existing weights (fresh optimizer
+    state) — used for phased curricula, e.g. bulk training at a cheap
+    context size followed by a short long-context adaptation phase at
+    ``max_context`` (attention cost grows quadratically with context, so
+    training everything at the longest context wastes meta-training
+    steps)."""
     model = ICLTransformer(cfg)
     rng = np.random.default_rng(seed)
     t0 = sample_tasks(rng, batch, cfg, n_ctx, n_qry)
-    params = model.init(jax.random.PRNGKey(seed),
-                        jnp.asarray(t0["x_ctx"]), jnp.asarray(t0["y_ctx"]),
-                        jnp.asarray(t0["ctx_mask"]), jnp.asarray(t0["x_qry"]))
+    params = init_params if init_params is not None else model.init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(t0["x_ctx"]), jnp.asarray(t0["y_ctx"]),
+        jnp.asarray(t0["ctx_mask"]), jnp.asarray(t0["x_qry"]))
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(optax.cosine_decay_schedule(lr, steps)))
     opt_state = tx.init(params)

@@ -86,6 +86,24 @@ class TestICLModel:
         assert t["y_qry"].shape == (4, 6)
         assert t["y_ctx"].max() < TINY.max_classes
 
+    def test_prior_sampler_variable_context(self):
+        # physical shape static, valid length varies per task, masked tail
+        # zeroed — inference contexts range up to max_context so the
+        # meta-training distribution must cover context sizes
+        t = sample_tasks(np.random.default_rng(0), 32, TINY, 48, 8)
+        assert t["ctx_mask"].shape == (32, 48)
+        lens = t["ctx_mask"].sum(1)
+        assert lens.min() >= 16 and len(np.unique(lens)) > 3
+        for b in range(32):
+            nv = int(lens[b])
+            assert (t["x_ctx"][b, nv:] == 0).all()
+            assert (t["ctx_mask"][b, :nv] == 1).all()
+
+    def test_prior_sampler_full_context_opt_out(self):
+        t = sample_tasks(np.random.default_rng(0), 4, TINY, 48, 8,
+                         var_ctx=False)
+        assert (t["ctx_mask"] == 1).all()
+
 
 @pytest.mark.slow
 class TestICLClassifier:
