@@ -1,0 +1,102 @@
+"""Full-size learning proof on real TPU hardware.
+
+The committed `artifacts/learning_proof/` run proves the flagship CV path
+learns, but at reduced volume size on the faked CPU mesh. This script runs
+the SAME real pipeline (train_cv: manifest -> stratified splits -> K-fold ->
+weighted CE -> warmup-cosine Adam -> best-ckpt -> fold-ensemble test) at the
+production operating point:
+
+  - full MNI volume geometry 91x109x91 @ 2mm (reference config/config.json:
+    15-17), flagship ResNet-18 depth (reference config/config.json model),
+  - HBM-resident corpus + device-side augmentation (the production data
+    path on the hosted tunnel), bf16 compute / fp32 params,
+  - Precise-BN re-estimation so eval-mode predictions are calibrated from
+    the first epoch despite the small step count,
+
+on statistically separable synthetic volumes, asserts the same learning
+criteria as tests/test_learning.py, and writes
+artifacts/learning_proof_tpu/{cv_results.csv, summary.json}.
+
+Usage (real TPU): python benchmarks/learning_proof_tpu.py
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+
+    from multimodal_ad_tpu.core.config import Config
+    from multimodal_ad_tpu.data.synthetic import make_adni_dir
+    from multimodal_ad_tpu.train.cv import train_cv
+
+    work = tempfile.mkdtemp(prefix="learning_proof_tpu_")
+    csv_path, mri_dir = make_adni_dir(
+        work, n_per_class=30, classes=("AD", "CN"), shape=(91, 109, 91),
+        seed=11, extent_jitter=0.3, center_jitter=0.04, noise=0.25)
+    cfg = Config(
+        label_file=csv_path, mri_dir=mri_dir, task="ADCN",
+        num_epochs=20, batch_size=8, lr=1e-3, n_splits=2, model_depth=18,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        hbm_cache=True, augment=True, precise_bn=True,
+        normalizer="adaptive_normal")
+    print(f"devices: {jax.devices()}")
+    t0 = time.time()
+    results, ckpt_dir = train_cv(cfg, verbose=True)
+    wall = time.time() - t0
+
+    with open(os.path.join(ckpt_dir, "cv_results.csv")) as f:
+        rows = list(csv.reader(f))
+
+    # same learning criteria as tests/test_learning.py::check_learning
+    hdr = rows[0]
+    il, ia = hdr.index("tr_loss"), hdr.index("vl_auc")
+    by_fold: dict = {}
+    for r in rows[1:]:
+        by_fold.setdefault(r[0], []).append(r)
+    for fold, frows in by_fold.items():
+        first_loss = float(frows[0][il])
+        last3 = float(np.mean([float(r[il]) for r in frows[-3:]]))
+        assert last3 < first_loss, (
+            f"fold {fold}: train loss did not decrease "
+            f"({first_loss:.3f} -> {last3:.3f})")
+        final_val_auc = float(frows[-1][ia])
+        assert final_val_auc >= 0.9, (
+            f"fold {fold}: final val AUC {final_val_auc:.3f} < 0.9")
+    assert results["avg"]["AUC"] >= 0.85, results["avg"]
+    assert results["avg"]["ACC"] >= 0.7, results["avg"]
+
+    out = os.path.join(REPO, "artifacts", "learning_proof_tpu")
+    os.makedirs(out, exist_ok=True)
+    shutil.copy(os.path.join(ckpt_dir, "cv_results.csv"),
+                os.path.join(out, "cv_results.csv"))
+    with open(os.path.join(out, "summary.json"), "w") as f:
+        json.dump({
+            "test_avg": results["avg"], "test_std": results["std"],
+            "platform": str(jax.devices()),
+            "volume_shape": [91, 109, 91], "model_depth": 18,
+            "data_path": "hbm_cache + device-side augmentation + precise_bn",
+            "wall_seconds": round(wall, 1),
+            "config": "benchmarks/learning_proof_tpu.py",
+            "assertions": "train loss falls; final val AUC >= 0.9 per fold; "
+                          "test AUC >= 0.85; test ACC >= 0.7",
+        }, f, indent=2)
+    print("artifact written to", out)
+    print("test avg:", results["avg"], f"({wall:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

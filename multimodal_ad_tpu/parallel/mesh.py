@@ -40,8 +40,42 @@ def make_mesh(shape: dict | None = None, devices=None) -> Mesh:
     return Mesh(dev_array, tuple(shape.keys()))
 
 
-def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Sharding for batched arrays: leading dim split along `axis`."""
+def make_multislice_mesh(n_slices: int, devices=None) -> Mesh:
+    """('replica', 'data') mesh for multi-slice data-parallel training.
+
+    One TPU slice is ICI-connected; separate slices only reach each other
+    over DCN (data-center network, ~10-100x lower bandwidth). For pure data
+    parallelism across slices, the batch shards over BOTH axes
+    (``P(('replica', 'data'))`` — see `data_sharding` with a tuple axis) and
+    XLA decomposes the gradient all-reduce hierarchically: the high-traffic
+    reduction stays on ICI within each slice and only one partial-sum
+    exchange per gradient crosses DCN. The slice axis is OUTERMOST in the
+    device array so mesh rows are ICI-contiguous — the layout the XLA
+    hierarchical-collective pass expects.
+
+    Devices are grouped into rows by `slice_index` when the platform
+    reports it (real multi-slice), falling back to process index then
+    device id (faked CPU meshes group into contiguous blocks). For
+    multi-host runs call `jax.distributed.initialize` before any device
+    query; this helper only arranges devices it is given.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) % n_slices:
+        raise ValueError(f"{len(devices)} devices not divisible into "
+                         f"{n_slices} slices")
+    devices = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0) or 0,
+                                             getattr(d, "process_index", 0),
+                                             d.id))
+    arr = np.asarray(devices).reshape(n_slices, -1)
+    return Mesh(arr, ("replica", "data"))
+
+
+def data_sharding(mesh: Mesh, axis="data") -> NamedSharding:
+    """Sharding for batched arrays: leading dim split along `axis`.
+
+    `axis` may be a tuple of mesh axes (e.g. ``('replica', 'data')`` on a
+    multi-slice mesh) — the batch dim then splits over their product."""
     return NamedSharding(mesh, P(axis))
 
 

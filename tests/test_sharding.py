@@ -8,6 +8,7 @@ import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodal_ad_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                             make_multislice_mesh,
                                              pad_to_multiple, replicate,
                                              spatial_sharding)
 
@@ -195,3 +196,65 @@ class Test2DMesh:
                                   jax.random.PRNGKey(1))
         assert np.isfinite(float(loss))
         assert np.asarray(probs).shape == (8, 2)
+
+
+class TestMultisliceMesh:
+    """('replica', 'data') hierarchical mesh for multi-slice (DCN-spanning)
+    data parallelism — the batch shards over the product of both axes and
+    XLA keeps the heavy gradient reduction on ICI within a slice row."""
+
+    def test_multislice_shape_and_order(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (faked) devices")
+        mesh = make_multislice_mesh(2)
+        assert mesh.axis_names == ("replica", "data")
+        assert mesh.devices.shape == (2, 4)
+        # rows are contiguous device blocks (ICI-contiguous on hardware)
+        ids = np.vectorize(lambda d: d.id)(mesh.devices)
+        assert ids.tolist() == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+    def test_multislice_train_step_matches_flat_dp(self):
+        """A train step on the (2, 4) multislice mesh must produce the SAME
+        updated params as on the flat 8-way mesh — both are pure data
+        parallelism over the same global batch."""
+        from multimodal_ad_tpu.models.resnet3d import generate_model
+        from multimodal_ad_tpu.train.loop import (create_train_state,
+                                                  make_train_step)
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (faked) devices")
+        rng = np.random.default_rng(3)
+        batch = {
+            "image": rng.normal(size=(8, 16, 20, 16, 1)).astype(np.float32),
+            "label": (np.arange(8) % 2).astype(np.int32),
+            "mask": np.ones((8,), np.float32),
+        }
+        model = generate_model(model_depth=10, nb_class=2,
+                               compute_dtype=jnp.float32)
+
+        def run(mesh, batch_axis):
+            state = create_train_state(
+                model, jax.random.PRNGKey(0),
+                {"image": jnp.asarray(batch["image"][:1])}, lambda _: 1e-3)
+            state = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+                if hasattr(a, "shape") else a, state)
+            dev_batch = {
+                k: jax.device_put(v, NamedSharding(
+                    mesh, P(batch_axis))) for k, v in batch.items()
+            }
+            cw = jax.device_put(jnp.ones(2), NamedSharding(mesh, P()))
+            step = make_train_step(2)
+            new_state, loss, _ = step(state, dev_batch, cw,
+                                      jax.random.PRNGKey(1))
+            return float(loss), jax.tree_util.tree_map(
+                np.asarray, new_state.params)
+
+        loss_2d, params_2d = run(make_multislice_mesh(2),
+                                 ("replica", "data"))
+        loss_1d, params_1d = run(make_mesh({"data": -1}), "data")
+        assert np.isclose(loss_2d, loss_1d, rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                    atol=1e-5),
+            params_2d, params_1d)
