@@ -154,6 +154,58 @@ def score(model, Xtr, ytr, Xte, yte):
     return acc, auc
 
 
+# ---------------------------------------------------------------------------
+# regression families (ICLRegressor = bucket decoding over the same network)
+# ---------------------------------------------------------------------------
+
+def reg_linear(rng, n=N):
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    w = rng.normal(size=6)
+    y = X @ w + 0.1 * rng.normal(size=n)
+    return X, y.astype(np.float64)
+
+
+def reg_sine(rng, n=N):
+    """Smooth nonlinear surface."""
+    X = rng.normal(size=(n, 4)).astype(np.float32)
+    y = np.sin(1.5 * X[:, 0]) + 0.5 * X[:, 1] ** 2 + 0.1 * rng.normal(size=n)
+    return X, y.astype(np.float64)
+
+
+def reg_correlated(rng, n=N):
+    """Target in the low-variance residual of two correlated features."""
+    base = rng.normal(size=(n, 1))
+    X = np.concatenate([base + 0.05 * rng.normal(size=(n, 1)),
+                        base - 0.05 * rng.normal(size=(n, 1)),
+                        rng.normal(size=(n, 4))], 1).astype(np.float32)
+    y = 3.0 * (X[:, 0] - X[:, 1]) + 0.05 * rng.normal(size=n)
+    return X, y.astype(np.float64)
+
+
+REG_FAMILIES = {
+    "linear": reg_linear,
+    "sine-nonlinear": reg_sine,
+    "correlated": reg_correlated,
+}
+
+
+def make_regressors():
+    from sklearn.ensemble import GradientBoostingRegressor
+    from sklearn.linear_model import Ridge
+    from sklearn.pipeline import make_pipeline
+    from sklearn.preprocessing import StandardScaler
+
+    from multimodal_ad_tpu.tabular.regression import (ICLRegressor,
+                                                      TunedICLRegressor)
+
+    return {
+        "ICLReg": ICLRegressor(),
+        "TunedICLReg": TunedICLRegressor(n_trials=6, random_state=0),
+        "Ridge": make_pipeline(StandardScaler(), Ridge()),
+        "GradBoostReg": GradientBoostingRegressor(random_state=0),
+    }
+
+
 def embeddings_vs_raw(seed):
     """The reference's actual use: OoF ICL embeddings + linear SVM vs
     raw features + linear SVM (reference tabel_test.py:166-185)."""
@@ -201,6 +253,22 @@ def main():
                       f"acc={acc:.3f} auc={auc:.3f} ({time.time()-t0:.1f}s)",
                       flush=True)
 
+    reg_results = {}  # {family: {model: [r2, ...]}}
+    from sklearn.metrics import r2_score
+    for fam, gen in REG_FAMILIES.items():
+        for seed in SEEDS:
+            rng = np.random.default_rng(seed)
+            X, y = gen(rng)
+            Xtr, Xte, ytr, yte = train_test_split(
+                X, y, test_size=1 / 3, random_state=seed)
+            for name, model in make_regressors().items():
+                t0 = time.time()
+                model.fit(Xtr, ytr)
+                r2 = r2_score(yte, model.predict(Xte))
+                reg_results.setdefault(fam, {}).setdefault(name, []).append(r2)
+                print(f"reg/{fam:14s} seed{seed} {name:12s} r2={r2:.3f} "
+                      f"({time.time()-t0:.1f}s)", flush=True)
+
     emb_rows = [embeddings_vs_raw(s) for s in SEEDS]
 
     # ---- render markdown ----
@@ -229,6 +297,19 @@ def main():
             acc = np.mean([v[0] for v in vals])
             auc = np.nanmean([v[1] for v in vals])
             cells.append(f"{acc:.3f} ({auc:.3f})")
+        lines.append(f"| {fam} | " + " | ".join(cells) + " |")
+
+    reg_order = ["ICLReg", "TunedICLReg", "Ridge", "GradBoostReg"]
+    lines += [
+        "",
+        "## Regression R² (mean over seeds; ICLRegressor = bucket decoding "
+        "over the same meta-trained network)",
+        "",
+        "| family | " + " | ".join(reg_order) + " |",
+        "|---|" + "---|" * len(reg_order),
+    ]
+    for fam in REG_FAMILIES:
+        cells = [f"{np.mean(reg_results[fam][m]):.3f}" for m in reg_order]
         lines.append(f"| {fam} | " + " | ".join(cells) + " |")
 
     lines += [

@@ -29,7 +29,8 @@ class ICLRegressor(RegressorMixin, BaseEstimator):
     def __init__(self, params=None, cfg=None, pretrain_steps: int = 300,
                  seed: int = 0, n_buckets: int = 8,
                  softmax_temperature: float = 1.0,
-                 context_size: int | None = None):
+                 context_size: int | None = None,
+                 preprocess: str | None = None):
         self.params = params
         self.cfg = cfg
         self.pretrain_steps = pretrain_steps
@@ -37,6 +38,7 @@ class ICLRegressor(RegressorMixin, BaseEstimator):
         self.n_buckets = n_buckets
         self.softmax_temperature = softmax_temperature
         self.context_size = context_size
+        self.preprocess = preprocess
 
     def fit(self, X, y):
         y = np.asarray(y, np.float64)
@@ -59,7 +61,7 @@ class ICLRegressor(RegressorMixin, BaseEstimator):
             params=self.params, cfg=self.cfg,
             pretrain_steps=self.pretrain_steps, seed=self.seed,
             softmax_temperature=self.softmax_temperature,
-            context_size=self.context_size)
+            context_size=self.context_size, preprocess=self.preprocess)
         self._clf.fit(np.asarray(X, np.float32), buckets)
         return self
 
@@ -175,6 +177,8 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
                 "n_buckets": int(rng.choice([4, 8, 16])),
                 "softmax_temperature": float(rng.choice([0.75, 1.0, 1.25])),
                 "seed": int(rng.integers(0, 10_000)),
+                "preprocess": [None, None, "quantile", "whiten"][
+                    int(rng.integers(0, 4))],
             }
             scores = []
             for tr, vl in kf.split(X):
@@ -197,7 +201,8 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
             return est
         return ICLRegressor(n_buckets=trial["n_buckets"],
                             softmax_temperature=trial["softmax_temperature"],
-                            seed=trial["seed"])
+                            seed=trial["seed"],
+                            preprocess=trial.get("preprocess"))
 
     def predict(self, X):
         return self.best_estimator_.predict(X)
