@@ -45,7 +45,7 @@ def main():
 
     work = tempfile.mkdtemp(prefix="learning_proof_tpu_")
     csv_path, mri_dir = make_adni_dir(
-        work, n_per_class=30, classes=("AD", "CN"), shape=(91, 109, 91),
+        work, n_per_class=40, classes=("AD", "CN"), shape=(91, 109, 91),
         seed=11, extent_jitter=0.3, center_jitter=0.04, noise=0.25)
     cfg = Config(
         label_file=csv_path, mri_dir=mri_dir, task="ADCN",
