@@ -25,6 +25,7 @@ class TestUNet3D:
         out = model.apply(variables, x, train=False)
         assert out.shape == (1, 23, 27, 23, 1)
 
+    @pytest.mark.slow
     def test_multiple_of_8_unpadded(self):
         model = UNet3D(level_channels=(8, 16, 32), bottleneck_channel=64,
                        dtype=jnp.float32)
@@ -32,6 +33,7 @@ class TestUNet3D:
         out = model.apply(init_vars(model, x), x, train=False)
         assert out.shape == (1, 16, 24, 16, 1)
 
+    @pytest.mark.slow
     def test_feature_tap_64ch(self):
         """The pre-head decoder map (ROI pooling source) has level_channels[0]
         channels and input spatial dims (reference image_features.py:103-108)."""
@@ -66,9 +68,13 @@ class TestUNet3DClassifier:
         assert out.dtype == jnp.float32
 
     def test_classifier_head_width_is_base_ch(self):
+        # eval_shape: param shapes without compiling the init forward —
+        # keeps this the family's cheap fast-tier smoke
         model = UNet3DClassifier(base_ch=4, num_classes=2, dtype=jnp.float32)
         x = jnp.zeros((1, 16, 16, 16, 1))
-        variables = init_vars(model, x)
+        variables = jax.eval_shape(
+            lambda: model.init({"params": jax.random.PRNGKey(0)}, x,
+                               train=False))
         dense = variables["params"]["Dense_0"]["kernel"]
         assert dense.shape == (4, 2)  # GAP over base_ch map (train_unet3d.py:137-138)
 
