@@ -36,7 +36,14 @@ def main(argv=None):
     p.add_argument("--platform", default="cpu",
                    help="jax platform (default cpu: meta-training streams a "
                         "fresh host-sampled task every step, so a remote "
-                        "accelerator link becomes the bottleneck)")
+                        "accelerator link becomes the bottleneck — unless "
+                        "--device-prior)")
+    p.add_argument("--device-prior", action="store_true",
+                   help="sample tasks on-device (icl_prior) and fuse "
+                        "--chunk steps per dispatch: zero per-step host "
+                        "traffic, the TPU-speed path (use --platform '')")
+    p.add_argument("--chunk", type=int, default=100,
+                   help="meta-steps fused per dispatch with --device-prior")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -71,7 +78,8 @@ def main(argv=None):
     params, _ = pretrain_icl(cfg, steps=args.steps, batch=args.batch,
                              n_ctx=args.n_ctx, n_qry=args.n_qry, lr=args.lr,
                              seed=args.seed, verbose=True,
-                             init_params=init_params)
+                             init_params=init_params,
+                             device_prior=args.device_prior, chunk=args.chunk)
     blob = serialization.to_bytes(params)
     with open(args.out, "wb") as f:
         f.write(blob)

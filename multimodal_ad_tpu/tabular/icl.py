@@ -227,17 +227,24 @@ def _zscore_by_ctx(x_ctx, x_qry, ctx_mask):
 def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
                  batch: int = 32, n_ctx: int = 96, n_qry: int = 32,
                  lr: float = 3e-4, seed: int = 0, verbose: bool = False,
-                 init_params=None):
+                 init_params=None, device_prior: bool = False,
+                 chunk: int = 100):
     """Meta-train the prior-fitted network on synthetic tasks; returns
-    (params, cfg). One jit'd step; host prior sampling overlaps device
-    compute via simple lookahead.
+    (params, cfg).
 
     ``init_params`` warm-starts from existing weights (fresh optimizer
     state) — used for phased curricula, e.g. bulk training at a cheap
     context size followed by a short long-context adaptation phase at
     ``max_context`` (attention cost grows quadratically with context, so
     training everything at the longest context wastes meta-training
-    steps)."""
+    steps).
+
+    ``device_prior`` samples tasks on-device (`icl_prior.sample_tasks_device`)
+    and fuses ``chunk`` meta-steps into one `lax.scan` dispatch — zero
+    per-step host traffic, which on the hosted-TPU tunnel is the difference
+    between link-bound (~1 step/s) and compute-bound (hundreds/s)
+    meta-training. The host path streams a fresh NumPy-sampled task per
+    step (fine on a local CPU)."""
     model = ICLTransformer(cfg)
     rng = np.random.default_rng(seed)
     t0 = sample_tasks(rng, batch, cfg, n_ctx, n_qry)
@@ -249,19 +256,47 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
                      optax.adamw(optax.cosine_decay_schedule(lr, steps)))
     opt_state = tx.init(params)
 
+    def loss_fn(p, task):
+        xc, xq = _zscore_by_ctx(task["x_ctx"], task["x_qry"],
+                                task["ctx_mask"])
+        logits, _, _ = model.apply(p, xc, task["y_ctx"],
+                                   task["ctx_mask"], xq)
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(
+            logp, task["y_qry"][..., None].astype(jnp.int32), axis=-1)
+        return nll.mean()
+
+    if device_prior:
+        from .icl_prior import sample_tasks_device
+
+        @jax.jit
+        def run_chunk(params, opt_state, key):
+            def body(carry, _):
+                params, opt_state, key = carry
+                key, tk = jax.random.split(key)
+                task = sample_tasks_device(tk, batch, cfg, n_ctx, n_qry)
+                loss, grads = jax.value_and_grad(loss_fn)(params, task)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state,
+                        key), loss
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), None, length=chunk)
+            return params, opt_state, key, losses.mean()
+
+        key = jax.random.PRNGKey(seed)
+        done = 0
+        while done < steps:
+            params, opt_state, key, mloss = run_chunk(params, opt_state, key)
+            done += chunk
+            if verbose:
+                print(f"[icl pretrain/device] step {min(done, steps)}/{steps}"
+                      f" loss {float(mloss):.4f}", flush=True)
+        return params, cfg
+
     @jax.jit
     def step(params, opt_state, task):
-        def loss_fn(p):
-            xc, xq = _zscore_by_ctx(task["x_ctx"], task["x_qry"],
-                                    task["ctx_mask"])
-            logits, _, _ = model.apply(p, xc, task["y_ctx"],
-                                       task["ctx_mask"], xq)
-            logp = jax.nn.log_softmax(logits)
-            nll = -jnp.take_along_axis(
-                logp, task["y_qry"][..., None].astype(jnp.int32), axis=-1)
-            return nll.mean()
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params, task)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

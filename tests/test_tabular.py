@@ -105,6 +105,63 @@ class TestICLModel:
         assert (t["ctx_mask"] == 1).all()
 
 
+class TestDevicePrior:
+    """Device-side prior (icl_prior.sample_tasks_device) must draw from the
+    same distribution as the host sampler — same shapes/masking invariants
+    and statistically indistinguishable coarse moments."""
+
+    def _draw(self, seed=0, batch=64, n_ctx=48, n_qry=8):
+        import jax
+
+        from multimodal_ad_tpu.tabular.icl_prior import sample_tasks_device
+
+        t = sample_tasks_device(jax.random.PRNGKey(seed), batch, TINY,
+                                n_ctx, n_qry)
+        return {k: np.asarray(v) for k, v in t.items()}
+
+    def test_shapes_and_masking(self):
+        t = self._draw()
+        assert t["x_ctx"].shape == (64, 48, 16)
+        assert t["y_qry"].shape == (64, 8)
+        assert t["y_ctx"].max() < TINY.max_classes
+        lens = t["ctx_mask"].sum(1).astype(int)
+        assert lens.min() >= 16 and len(np.unique(lens)) > 3
+        for b in range(64):
+            nv = lens[b]
+            assert (t["x_ctx"][b, nv:] == 0).all()
+            assert (t["y_ctx"][b, nv:] == 0).all()
+
+    def test_moments_match_host_prior(self):
+        td = self._draw(seed=3, batch=96)
+        th = sample_tasks(np.random.default_rng(3), 96, TINY, 48, 8)
+        for name, t in [("device", td), ("host", th)]:
+            x = t["x_ctx"]
+            nz = np.abs(x) > 0
+            # valid features carry roughly unit-scale values
+            assert 1.0 < x[nz].std() < 2.5, name
+            # feature count f in [3, max_features//2]: fraction of used
+            # feature columns averages near (3 + 8) / 2 / 16
+            used = (np.abs(x).sum(1) > 0).mean()
+            assert 0.25 < used < 0.55, (name, used)
+            # label-0 is most frequent (class count c varies 2..4)
+            counts = np.bincount(
+                np.concatenate([t["y_ctx"], t["y_qry"]], 1).ravel(),
+                minlength=4)
+            assert counts.argmax() == 0 and counts[1] > 0, (name, counts)
+
+    def test_device_prior_metatrain_learns(self):
+        # a short device-prior meta-train must beat chance on a separable
+        # in-context task (proves gradients flow through the scan chunks)
+        params, _ = pretrain_icl(TINY, steps=300, batch=16, n_ctx=48,
+                                 n_qry=16, lr=1e-3, seed=0,
+                                 device_prior=True, chunk=50)
+        X, y = separable_data(n=90, f=6, seed=5)
+        clf = ICLClassifier(params=params, cfg=TINY)
+        clf.fit(X[:60], y[:60])
+        acc = (clf.predict(X[60:]) == y[60:]).mean()
+        assert acc >= 0.8, f"device-prior meta-trained acc too low: {acc}"
+
+
 @pytest.mark.slow
 class TestICLClassifier:
     def test_learns_separable_task(self, tiny_params):
