@@ -310,8 +310,14 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
 
 
 def default_asset_path() -> str:
+    """Bundled asset location; override with MAD_ICL_ASSET to point every
+    ICLClassifier/ICLRegressor in the process at a different meta-trained
+    weight file (e.g. one produced by cli/pretrain_icl)."""
     import os
 
+    env = os.environ.get("MAD_ICL_ASSET")
+    if env:
+        return env
     return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "assets", "icl_default.msgpack")
 
@@ -389,7 +395,9 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
     def _ensure_params(self):
         if self.params is not None:
             return self.params
-        key = (self._cfg, self.seed, self.pretrain_steps)
+        # asset path participates in the key so MAD_ICL_ASSET changes
+        # mid-process aren't masked by an earlier cached load
+        key = (self._cfg, self.seed, self.pretrain_steps, default_asset_path())
         if key not in ICLClassifier._param_cache:
             bundled = load_default_params(self._cfg)
             if bundled is not None:

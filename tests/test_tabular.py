@@ -206,6 +206,22 @@ class TestICLClassifier:
         proba = clf.predict_proba(X[:8])
         assert proba.shape == (8, 2)
 
+    def test_asset_env_override(self, tmp_path, monkeypatch):
+        """MAD_ICL_ASSET points every ICL estimator at a user-supplied
+        meta-trained weight file (e.g. from cli/pretrain_icl)."""
+        from multimodal_ad_tpu.tabular import icl
+
+        bundled = icl.default_asset_path()
+        alt = tmp_path / "alt_asset.msgpack"
+        alt.write_bytes(open(bundled, "rb").read())
+        monkeypatch.setenv("MAD_ICL_ASSET", str(alt))
+        assert icl.default_asset_path() == str(alt)
+        params = icl.load_default_params(icl.ICLConfig())
+        assert params is not None
+        # a dangling override degrades to None (estimator self-pretrains)
+        monkeypatch.setenv("MAD_ICL_ASSET", str(tmp_path / "missing.msgpack"))
+        assert icl.load_default_params(icl.ICLConfig()) is None
+
     def test_too_many_features_raises(self, tiny_params):
         clf = ICLClassifier(params=tiny_params, cfg=TINY)
         with pytest.raises(ValueError, match="max_features"):
