@@ -156,6 +156,7 @@ class Test2DMesh:
         assert len(out.sharding.device_set) == 8
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow  # ~110 s call on the 1-CPU box (fast tier budget)
     def test_2d_mesh_train_step(self):
         """The full jit'd train step compiles and runs with batch sharded
         over 'data' and the volume X axis over 'space' simultaneously."""
@@ -213,6 +214,7 @@ class TestMultisliceMesh:
         ids = np.vectorize(lambda d: d.id)(mesh.devices)
         assert ids.tolist() == [[0, 1, 2, 3], [4, 5, 6, 7]]
 
+    @pytest.mark.slow  # ~80 s call on the 1-CPU box (fast tier budget)
     def test_multislice_train_step_matches_flat_dp(self):
         """A train step on the (2, 4) multislice mesh must produce the SAME
         updated params as on the flat 8-way mesh — both are pure data

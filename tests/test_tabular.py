@@ -131,6 +131,7 @@ class TestDevicePrior:
             assert (t["x_ctx"][b, nv:] == 0).all()
             assert (t["y_ctx"][b, nv:] == 0).all()
 
+    @pytest.mark.slow  # large draws on the 1-CPU box
     def test_moments_match_host_prior(self):
         td = self._draw(seed=3, batch=96)
         th = sample_tasks(np.random.default_rng(3), 96, TINY, 48, 8)
@@ -149,6 +150,7 @@ class TestDevicePrior:
                 minlength=4)
             assert counts.argmax() == 0 and counts[1] > 0, (name, counts)
 
+    @pytest.mark.slow  # 300 meta-train steps, ~2 min on the 1-CPU box
     def test_device_prior_metatrain_learns(self):
         # a short device-prior meta-train must beat chance on a separable
         # in-context task (proves gradients flow through the scan chunks)
