@@ -79,6 +79,38 @@ def test_flagship_cv_learns_separable_volumes(tmp_path):
     check_learning(results, rows)
 
 
+@pytest.mark.slow
+def test_unet_single_split_learns_separable_volumes(tmp_path):
+    """Learning proof for the second trainer harness (single 64/16/20
+    split, AdamW + plain CE + cosine, best-by-AUC — reference
+    train_unet3d.py semantics): best val AUC must be far above chance on
+    separable volumes."""
+    import jax
+
+    from multimodal_ad_tpu.core.config import Config
+    from multimodal_ad_tpu.data.synthetic import make_adni_dir
+    from multimodal_ad_tpu.models.unet3d import UNet3DClassifier
+    from multimodal_ad_tpu.parallel.mesh import make_mesh
+    from multimodal_ad_tpu.train.single_split import train_unet_classifier
+
+    csv_path, mri_dir = make_adni_dir(
+        str(tmp_path), n_per_class=24, classes=("AD", "CN"),
+        shape=(16, 20, 16), seed=13, extent_jitter=0.3, center_jitter=0.04,
+        noise=0.25)
+    cfg = Config(
+        label_file=csv_path, mri_dir=mri_dir, task="ADCN",
+        num_epochs=15, batch_size=4, lr=1e-3,
+        checkpoint_dir=str(tmp_path / "ckpt"), compute_dtype="float32",
+        loader_threads=2)
+    n_dev = min(4, len(jax.devices()))
+    mesh = make_mesh({"data": n_dev}, devices=jax.devices()[:n_dev])
+    model = UNet3DClassifier(num_classes=2, base_ch=8,
+                             dtype=jax.numpy.float32)
+    best_auc, _ = train_unet_classifier(cfg, mesh=mesh, model=model,
+                                        verbose=False)
+    assert best_auc >= 0.85, f"U-Net best val AUC {best_auc:.3f} < 0.85"
+
+
 if __name__ == "__main__":
     # regenerate the committed artifact on the faked CPU mesh
     import sys
