@@ -337,7 +337,7 @@ def main():
         "inference_mfu": round(mfu, 4) if mfu else None,
         "train_mfu_est": round(train_mfu, 4) if train_mfu else None,
         "hbm_upload_seconds": round(upload_s, 2),
-        "hbm_upload_mbps": round(corpus_bytes / 1e6 / upload_s, 1),
+        "hbm_upload_mbps": round(corpus_bytes / 1e6 / upload_s, 3),
         "n_chips": n_chips,
         "volume_shape": list(VOL_SHAPE),
     }
