@@ -305,12 +305,16 @@ def main():
             train_by_batch[b] = None
             print(f"[warn] train batch {b} failed: {e}", file=sys.stderr)
 
-    best_infer_b = max((b for b, v in infer_by_batch.items() if v),
-                       key=lambda b: infer_by_batch[b])
-    best_train_b = max((b for b, v in train_by_batch.items() if v),
-                       key=lambda b: train_by_batch[b])
-    hbm_vps = infer_by_batch[best_infer_b]
-    train_vps = train_by_batch[best_train_b]
+    # a fully-failed sweep (e.g. transient tunnel outage) must still print
+    # the JSON line with the phases that DID measure
+    infer_ok = [b for b, v in infer_by_batch.items() if v]
+    train_ok = [b for b, v in train_by_batch.items() if v]
+    best_infer_b = (max(infer_ok, key=lambda b: infer_by_batch[b])
+                    if infer_ok else None)
+    best_train_b = (max(train_ok, key=lambda b: train_by_batch[b])
+                    if train_ok else None)
+    hbm_vps = infer_by_batch[best_infer_b] if infer_ok else 0.0
+    train_vps = train_by_batch[best_train_b] if train_ok else 0.0
 
     stream_vps = bench_jax(vols)
     cpu_vps = bench_cpu_reference(vols)

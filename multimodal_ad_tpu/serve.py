@@ -111,9 +111,16 @@ class EnsemblePredictor:
         any n reuses one compilation."""
         vols = np.asarray(volumes, np.float32)
         if preprocess:
-            vols = np.stack([
-                self.transform(v if v.ndim == 3 else v[..., 0])
-                for v in vols])
+            # multi-channel volumes normalize per channel (each channel is
+            # an independent intensity distribution, e.g. MRI + PET)
+            def prep(v):
+                if v.ndim == 3:
+                    return self.transform(v)
+                return np.concatenate(
+                    [self.transform(v[..., c]) for c in range(v.shape[-1])],
+                    axis=-1)
+
+            vols = np.stack([prep(v) for v in vols])
         elif vols.ndim == 4:
             vols = vols[..., None]
         n = vols.shape[0]

@@ -322,16 +322,7 @@ def default_asset_path() -> str:
                         "assets", "icl_default.msgpack")
 
 
-def load_default_params(cfg: ICLConfig):
-    """Bundled meta-trained weights for the DEFAULT ICLConfig (trained by
-    cli/pretrain_icl); None when the config differs or no asset exists."""
-    import os
-
-    if cfg != ICLConfig():
-        return None
-    path = default_asset_path()
-    if not os.path.isfile(path):
-        return None
+def _load_params_file(cfg: ICLConfig, path: str):
     from flax import serialization
 
     model = ICLTransformer(cfg)
@@ -342,6 +333,33 @@ def load_default_params(cfg: ICLConfig):
                           jnp.asarray(t["x_qry"]))
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def load_default_params(cfg: ICLConfig):
+    """Meta-trained weights for `cfg`: a MAD_ICL_ASSET override is loaded
+    for ANY config (a shape mismatch raises so a user-supplied asset is
+    never silently ignored); the bundled asset only matches the default
+    ICLConfig. Returns None when no asset applies (the estimator then
+    self-pretrains)."""
+    import os
+
+    env = os.environ.get("MAD_ICL_ASSET")
+    if env:
+        if not os.path.isfile(env):
+            return None  # dangling override: degrade like a missing asset
+        try:
+            return _load_params_file(cfg, env)
+        except Exception as e:
+            raise ValueError(
+                f"MAD_ICL_ASSET={env} does not match ICLConfig {cfg} "
+                f"(was it trained with different --d-model/layers?): {e}"
+            ) from e
+    if cfg != ICLConfig():
+        return None
+    path = default_asset_path()
+    if not os.path.isfile(path):
+        return None
+    return _load_params_file(cfg, path)
 
 
 class ICLClassifier(ClassifierMixin, BaseEstimator):
@@ -484,10 +502,19 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
                 if room.max() <= 0:
                     break
                 quota[np.argmax(room)] += 1
+            # the per-class floor of 1 can push the total ABOVE n_max on
+            # heavily imbalanced many-class data (e.g. counts [2046,1,1],
+            # n_max 512 -> [511,1,1]); trim the excess from the largest
+            # quotas so the context never exceeds the configured size
+            while quota.sum() > n_max and quota.max() > 1:
+                quota[np.argmax(quota)] -= 1
             sel = np.concatenate([
                 rng.choice(np.where(y_idx == c)[0], quota[c], replace=False)
                 for c in range(n_cls) if quota[c] > 0])
             rng.shuffle(sel)
+            # only reachable when n_cls itself exceeds n_max (every class
+            # already at its floor of one slot): keep a uniform n_max subset
+            sel = sel[:n_max]
             X, y_idx = X[sel], y_idx[sel]
         pad = self._cfg.max_context - len(X)
         self._fitted = {

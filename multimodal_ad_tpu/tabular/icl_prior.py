@@ -123,7 +123,7 @@ def _one_task(key, n, F, C):
     return xs, lab
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def sample_tasks_device(key, batch: int, cfg: ICLConfig, n_ctx: int,
                         n_qry: int, var_ctx: bool = True):
     """Jit-compatible twin of icl.sample_tasks: returns the same dict of

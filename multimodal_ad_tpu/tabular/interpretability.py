@@ -100,33 +100,40 @@ def shapley_values(estimator, X, background=None, class_index: int = 1,
 
     if F <= exact_max_features:
         ints, masks = _all_coalitions(F)
-        w = np.array([comb(F - 1, s) for s in range(F)], np.float64)
-        sizes = masks.sum(axis=1)
         for si in range(n):
             v = _coalition_values(estimator, X[si], bg, masks, class_index)
-            for i in range(F):
-                bit = 1 << i
-                s_ints = ints[(ints & bit) == 0]
-                s_sizes = sizes[s_ints]
-                delta = v[s_ints | bit] - v[s_ints]
-                out[si, i] = np.sum(delta / (F * w[s_sizes]))
+            out[si] = _exact_shapley_from_coalitions(v, ints, masks, F)
         return out
 
     for si in range(n):
         acc = np.zeros(F)
         for _ in range(n_draws):
+            # all F+1 masks along one permutation are known upfront — one
+            # batched model call instead of F+1 sequential dispatches
+            # (each dispatch pays link latency on the hosted tunnel)
             perm = rng.permutation(F)
-            mask = np.zeros(F, bool)
-            prev = _coalition_values(estimator, X[si], bg, mask[None],
-                                     class_index)[0]
-            for i in perm:
-                mask[i] = True
-                cur = _coalition_values(estimator, X[si], bg, mask[None],
-                                        class_index)[0]
-                acc[i] += cur - prev
-                prev = cur
+            masks = np.zeros((F + 1, F), bool)
+            for t, i in enumerate(perm, 1):
+                masks[t] = masks[t - 1]
+                masks[t, i] = True
+            v = _coalition_values(estimator, X[si], bg, masks, class_index)
+            acc[perm] += v[1:] - v[:-1]
         out[si] = acc / n_draws
     return out
+
+
+def _exact_shapley_from_coalitions(v, ints, masks, F):
+    """Order-1 Shapley values from a precomputed (2^F,) coalition value
+    vector (phi_i = sum_S [v(S+i) - v(S)] / (F * C(F-1, |S|)))."""
+    w = np.array([comb(F - 1, s) for s in range(F)], np.float64)
+    sizes = masks.sum(axis=1)
+    phi = np.zeros(F)
+    for i in range(F):
+        bit = 1 << i
+        s_ints = ints[(ints & bit) == 0]
+        delta = v[s_ints | bit] - v[s_ints]
+        phi[i] = np.sum(delta / (F * w[sizes[s_ints]]))
+    return phi
 
 
 def shapley_interaction_values(estimator, X, background=None,
@@ -153,18 +160,19 @@ def shapley_interaction_values(estimator, X, background=None,
     if F < 2:
         raise ValueError("interactions need >= 2 features")
     out = np.zeros((n, F, F))
-    out_diag = shapley_values(estimator, X, background, class_index,
-                              n_draws=n_draws, random_state=random_state,
-                              exact_max_features=exact_max_features)
     rng = np.random.default_rng(random_state)
 
     if F <= exact_max_features:
+        # one coalition-value vector per sample serves BOTH the pairwise
+        # interactions and the order-1 diagonal (no second 2^F sweep)
+        out_diag = np.zeros((n, F))
         ints, masks = _all_coalitions(F)
         sizes = masks.sum(axis=1)
         wk = np.array([comb(F - 2, s) * (F - 1) for s in range(F - 1)],
                       np.float64)
         for si in range(n):
             v = _coalition_values(estimator, X[si], bg, masks, class_index)
+            out_diag[si] = _exact_shapley_from_coalitions(v, ints, masks, F)
             for i in range(F):
                 for j in range(i + 1, F):
                     bi, bj = 1 << i, 1 << j
@@ -175,6 +183,9 @@ def shapley_interaction_values(estimator, X, background=None,
                     val = np.sum(delta / wk[s_sizes])
                     out[si, i, j] = out[si, j, i] = val
     else:
+        out_diag = shapley_values(estimator, X, background, class_index,
+                                  n_draws=n_draws, random_state=random_state,
+                                  exact_max_features=exact_max_features)
         pairs = [(i, j) for i in range(F) for j in range(i + 1, F)]
         for si in range(n):
             masks_all, meta = [], []

@@ -47,11 +47,20 @@ def save_checkpoint(path: str, state: TrainState, metrics: dict | None = None,
 
 
 def restore_state(path: str, template: TrainState) -> tuple[TrainState, dict]:
-    """Restore into the structure of `template` (a freshly created state)."""
+    """Restore into the structure of `template` (a freshly created state).
+
+    Checkpoints written before the per-step dropout counter existed have no
+    'step' entry; restore them with step=0 instead of failing on the tree
+    mismatch (only the dropout stream offset differs)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree_util.tree_map(np.asarray, _tree_of(template))
-    tree = ckptr.restore(path, target=target)
+    try:
+        tree = ckptr.restore(path, target=target)
+    except Exception:
+        legacy = {k: v for k, v in target.items() if k != "step"}
+        tree = dict(ckptr.restore(path, target=legacy))
+        tree["step"] = target["step"]
     state = template.replace(
         params=tree["params"],
         batch_stats=tree["batch_stats"],

@@ -39,6 +39,37 @@ class TestExperiment:
 
 @pytest.mark.slow
 class TestResume:
+    def test_restore_legacy_checkpoint_without_step(self, tmp_path):
+        """Checkpoints written before the per-step dropout counter carried
+        no 'step' entry; restore_state must load them (step defaults to 0)
+        instead of failing on the tree-structure mismatch."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import orbax.checkpoint as ocp
+
+        from multimodal_ad_tpu.models.resnet3d import generate_model
+        from multimodal_ad_tpu.train import checkpoint as ckpt
+        from multimodal_ad_tpu.train.loop import create_train_state
+
+        model = generate_model(model_depth=10, nb_class=2,
+                               compute_dtype=jnp.float32)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            {"image": jnp.zeros((1, 8, 8, 8, 1), jnp.float32)}, lambda _: 1e-3)
+        legacy_tree = {k: v for k, v in ckpt._tree_of(state).items()
+                       if k != "step"}
+        path = str(tmp_path / "legacy_ckpt")
+        saver = ocp.StandardCheckpointer()
+        saver.save(path, legacy_tree, force=True)
+        saver.wait_until_finished()
+
+        restored, _ = ckpt.restore_state(path, state)
+        assert int(restored.step) == 0
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["Conv_0"]["kernel"]),
+            np.asarray(state.params["Conv_0"]["kernel"]))
+
     def test_resume_continues_fold(self, adni_dir, tmp_path, mesh8):
         from multimodal_ad_tpu.train.cv import train_cv
 

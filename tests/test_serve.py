@@ -107,3 +107,29 @@ class TestEnsemblePredictor:
                                                       batch_size=8)
         np.testing.assert_allclose(proba, pred8.predict_proba(vols),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_multichannel_volumes_preprocess(self):
+        """A checkpoint trained with in_channels>1 must be servable with
+        preprocess=True: every channel is normalized independently and kept
+        (regression: channel 0 was silently extracted, then the model's
+        channel guard rejected the 1-channel input)."""
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_ad_tpu.models.resnet3d import generate_model
+        from multimodal_ad_tpu.serve import EnsemblePredictor
+
+        model = generate_model(model_depth=10, nb_class=2, in_channels=2,
+                               compute_dtype=jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.zeros((1, *SHAPE, 2), jnp.float32),
+                               train=False)
+        pred = EnsemblePredictor(model, [variables, variables], batch_size=4)
+        rng = np.random.default_rng(2)
+        vols = np.stack([
+            np.stack([make_volume(rng, SHAPE, label=i % 2),
+                      make_volume(rng, SHAPE, label=i % 2)], axis=-1)
+            for i in range(3)])
+        proba = pred.predict_proba(vols)  # (3, X, Y, Z, 2) in, (3, 2) out
+        assert proba.shape == (3, 2)
+        np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-5)

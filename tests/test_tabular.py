@@ -131,6 +131,17 @@ class TestDevicePrior:
             assert (t["x_ctx"][b, nv:] == 0).all()
             assert (t["y_ctx"][b, nv:] == 0).all()
 
+    def test_full_context_opt_out(self):
+        """var_ctx=False (the host sampler's full-context mode) must work
+        under jit (regression: non-static bool arg raised
+        TracerBoolConversionError)."""
+        import jax
+
+        from multimodal_ad_tpu.tabular.icl_prior import sample_tasks_device
+
+        t = sample_tasks_device(jax.random.PRNGKey(0), 4, TINY, 48, 8, False)
+        assert np.asarray(t["ctx_mask"]).min() == 1.0  # no masked rows
+
     @pytest.mark.slow  # large draws on the 1-CPU box
     def test_moments_match_host_prior(self):
         td = self._draw(seed=3, batch=96)
@@ -207,6 +218,22 @@ class TestICLClassifier:
         # still predicts both classes' probabilities
         proba = clf.predict_proba(X[:8])
         assert proba.shape == (8, 2)
+
+    def test_stratified_quota_never_exceeds_context_size(self, tiny_params):
+        """Extreme imbalance where proportional shares floor to 0: the
+        per-class floor of one slot must not push the context ABOVE the
+        configured size (regression: negative np.pad crash)."""
+        rng = np.random.default_rng(0)
+        n = 360
+        y = np.zeros(n, int)
+        y[0], y[1] = 1, 2  # counts [358, 1, 1]
+        X = rng.normal(size=(n, 6)).astype(np.float32) + y[:, None]
+        clf = ICLClassifier(params=tiny_params, cfg=TINY, context_size=64)
+        clf.fit(X, y)  # crashed before the quota trim
+        kept = clf._fitted["y_ctx"][0][clf._fitted["ctx_mask"][0] > 0]
+        assert len(kept) == 64
+        assert set(np.unique(kept)) == {0, 1, 2}  # every class kept a slot
+        assert clf.predict_proba(X[:4]).shape == (4, 3)
 
     def test_asset_env_override(self, tmp_path, monkeypatch):
         """MAD_ICL_ASSET points every ICL estimator at a user-supplied

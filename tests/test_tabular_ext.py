@@ -187,6 +187,30 @@ class TestShapleyInteractions:
     """shapiq-capability parity: order-2 Shapley interaction indices
     (reference interpretability/shapiq.py:20-161, index k-SII max_order=2)."""
 
+    def test_monte_carlo_efficiency_property(self):
+        """The batched permutation-MC estimator telescopes exactly: for any
+        draw count, sum_i phi_i == v(full) - v(empty) (efficiency). Also
+        pins MC vs exact agreement on an additive model where the MC
+        estimate is deterministic."""
+        from multimodal_ad_tpu.tabular.interpretability import (
+            _coalition_values, shapley_values)
+
+        est = _FnEstimator(lambda X: 0.5 + 0.04 * X[:, 0] - 0.03 * X[:, 2])
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(3, 4)).astype(np.float32)
+        bg = X.mean(axis=0)
+        phi_mc = shapley_values(est, X, n_draws=8, exact_max_features=0)
+        phi_exact = shapley_values(est, X)
+        for si in range(len(X)):
+            v_empty = _coalition_values(est, X[si], bg,
+                                        np.zeros((1, 4), bool), 1)[0]
+            v_full = _coalition_values(est, X[si], bg,
+                                       np.ones((1, 4), bool), 1)[0]
+            assert abs(phi_mc[si].sum() - (v_full - v_empty)) < 1e-9
+        # additive model: each marginal contribution is order-independent,
+        # so MC equals exact regardless of the permutations drawn
+        np.testing.assert_allclose(phi_mc, phi_exact, atol=1e-9)
+
     def test_additive_model_has_zero_interactions(self):
         from multimodal_ad_tpu.tabular.interpretability import (
             shapley_interaction_values, shapley_values)
