@@ -55,12 +55,22 @@ def restore_state(path: str, template: TrainState) -> tuple[TrainState, dict]:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree_util.tree_map(np.asarray, _tree_of(template))
+    # Detect the legacy layout EXPLICITLY from checkpoint metadata rather
+    # than retrying every restore failure as legacy — a corrupt or
+    # architecture-mismatched checkpoint must surface its original error,
+    # not a confusing secondary tree-mismatch.
+    legacy_no_step = False
     try:
-        tree = ckptr.restore(path, target=target)
+        saved_tree = ckptr.metadata(path).item_metadata.tree
+        legacy_no_step = isinstance(saved_tree, dict) and "step" not in saved_tree
     except Exception:
+        pass  # metadata unavailable: assume the modern layout
+    if legacy_no_step:
         legacy = {k: v for k, v in target.items() if k != "step"}
         tree = dict(ckptr.restore(path, target=legacy))
         tree["step"] = target["step"]
+    else:
+        tree = ckptr.restore(path, target=target)
     state = template.replace(
         params=tree["params"],
         batch_stats=tree["batch_stats"],

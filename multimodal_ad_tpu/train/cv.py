@@ -323,13 +323,22 @@ def test_models(cfg: Config, test_data, model_factory=None, mesh=None,
             labels_l.append(batch["label"])
         # one end-of-pass host fetch (no per-step D2H sync)
         mask = np.concatenate([np.asarray(m) for m in masks_l]) > 0
-        probs = np.concatenate([np.asarray(p) for p in probs_l])[mask, 1].tolist()
+        prob_mat = np.concatenate([np.asarray(p) for p in probs_l])[mask]
         labels = np.concatenate(
             [np.asarray(lb) for lb in labels_l])[mask].tolist()
 
-        # test-time decision rule: prob > 0.5 (train_ResNet3D.py:388)
-        y_pred = (np.array(probs) > 0.5).astype(int)
-        m = calculate_metrics(labels, y_pred, probs)
+        if prob_mat.shape[-1] > 2:
+            # multiclass tasks (e.g. ADCNSMCIPMCI): argmax decision + macro
+            # metrics — the reference's tester is binary-only
+            # (train_ResNet3D.py:388); divergence documented in README
+            probs = prob_mat.tolist()
+            y_pred = prob_mat.argmax(-1)
+            m = calculate_metrics_multiclass(labels, y_pred, prob_mat)
+        else:
+            # test-time decision rule: prob > 0.5 (train_ResNet3D.py:388)
+            probs = prob_mat[:, 1].tolist()
+            y_pred = (np.array(probs) > 0.5).astype(int)
+            m = calculate_metrics(labels, y_pred, probs)
         all_metrics.append(m)
         all_probs.extend(probs)
         all_labels.extend(labels)
@@ -348,7 +357,9 @@ def test_models(cfg: Config, test_data, model_factory=None, mesh=None,
         for k in keys:
             print(f"{k}: {avg[k]:.4f} ± {std[k]:.4f}")
 
-    if plot:
+    if plot and fold_curves and np.ndim(fold_curves[0][1][0]) == 0:
+        # pooled ROC is a binary-task artifact; multiclass folds carry full
+        # probability rows and skip the plot
         try:
             _plot_roc(fold_curves, all_labels, all_probs,
                       os.path.join(cfg.checkpoint_dir, "test_roc_curves.png"))

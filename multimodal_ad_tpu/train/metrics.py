@@ -51,25 +51,41 @@ def calculate_metrics(y_true, y_pred, y_score) -> dict:
     }
 
 
+def _macro_specificity(cm: np.ndarray) -> float:
+    """Macro one-vs-rest specificity: per class c, TN/(TN+FP) over the
+    rest-vs-c binarization, averaged (same +1e-8 guard as the binary SPE)."""
+    total = cm.sum()
+    col = cm.sum(axis=0)
+    row = cm.sum(axis=1)
+    tp = np.diag(cm)
+    fp = col - tp
+    tn = total - row - col + tp
+    return float(np.mean(tn / (tn + fp + 1e-8)))
+
+
 def calculate_metrics_multiclass(y_true, y_pred, y_prob) -> dict:
     """Macro-averaged variant for the 3/4-class tasks
     (reference task ADCNSMCIPMCI, datasets/ADNI.py:77-79)."""
     y_true = np.asarray(y_true)
     y_pred = np.asarray(y_pred)
     y_prob = np.asarray(y_prob)
+    n_cls = y_prob.shape[-1] if y_prob.ndim == 2 else int(
+        max(y_true.max(), y_pred.max())) + 1
+    cm = confusion_matrix(y_true, y_pred, labels=np.arange(n_cls))
     try:
-        auc = roc_auc_score(y_true, y_prob, multi_class="ovr", average="macro")
+        auc = roc_auc_score(y_true, y_prob, multi_class="ovr", average="macro",
+                            labels=np.arange(n_cls))
     except ValueError:
         auc = float("nan")
     return {
         "ACC": accuracy_score(y_true, y_pred),
         "PRE": precision_score(y_true, y_pred, average="macro", zero_division=0),
         "SEN": recall_score(y_true, y_pred, average="macro", zero_division=0),
-        "SPE": float("nan"),
+        "SPE": _macro_specificity(cm),
         "F1": f1_score(y_true, y_pred, average="macro", zero_division=0),
         "AUC": auc,
         "MCC": matthews_corrcoef(y_true, y_pred),
-        "cm": confusion_matrix(y_true, y_pred),
+        "cm": cm,
     }
 
 

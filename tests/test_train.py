@@ -94,6 +94,37 @@ class TestMetrics:
         assert (tn, fp, fn, tp) == (2, 1, 1, 2)
         assert m["SPE"] == pytest.approx(tn / (tn + fp + 1e-8))
 
+    def test_macro_spe_multiclass(self):
+        """Macro one-vs-rest specificity is computable from the confusion
+        matrix — NaN SPE rows in cv_results.csv for 3/4-class tasks were a
+        round-2 weakness."""
+        from multimodal_ad_tpu.train.metrics import calculate_metrics_multiclass
+
+        y_true = [0, 0, 1, 1, 2, 2, 2, 0]
+        y_pred = [0, 1, 1, 2, 2, 2, 0, 0]
+        y_prob = np.full((8, 3), 1 / 3)
+        m = calculate_metrics_multiclass(y_true, y_pred, y_prob)
+        # manual one-vs-rest: for each class, TN/(TN+FP) over rest-vs-class
+        expected = []
+        yt, yp = np.array(y_true), np.array(y_pred)
+        for c in range(3):
+            tn = np.sum((yt != c) & (yp != c))
+            fp = np.sum((yt != c) & (yp == c))
+            expected.append(tn / (tn + fp + 1e-8))
+        assert np.isfinite(m["SPE"])
+        assert m["SPE"] == pytest.approx(np.mean(expected))
+        assert m["cm"].shape == (3, 3)
+
+    def test_multiclass_cm_includes_absent_classes(self):
+        """The confusion matrix is always (C, C) even when a class is
+        missing from a small batch (labels= pinning)."""
+        from multimodal_ad_tpu.train.metrics import calculate_metrics_multiclass
+
+        y_prob = np.full((4, 4), 0.25)
+        m = calculate_metrics_multiclass([0, 1, 1, 2], [0, 1, 2, 2], y_prob)
+        assert m["cm"].shape == (4, 4)
+        assert np.isfinite(m["SPE"])
+
     def test_selection_score(self):
         m = {"AUC": 1.0, "ACC": 0.0}
         assert model_selection_score(m) == pytest.approx(0.3)
@@ -212,3 +243,34 @@ class TestEndToEnd:
             rows = list(csv.reader(f))
         assert len(rows[0]) == len(rows[1]) == 19
         assert len(rows) == 1 + 2 * 2  # header + folds*epochs
+
+    def test_cv_multiclass_four_class(self, tmp_path, mesh8):
+        """4-class task (reference ADCNSMCIPMCI, datasets/ADNI.py:77-79)
+        end-to-end: the fold-ensemble test must use argmax + macro metrics
+        (round-2 weakness: it silently assumed binary) and SPE must be
+        finite (macro one-vs-rest)."""
+        from multimodal_ad_tpu.data.synthetic import make_adni_dir
+        from multimodal_ad_tpu.train.cv import train_cv
+
+        csv_path, mri_dir = make_adni_dir(
+            str(tmp_path / "adni4"), n_per_class=6,
+            classes=("AD", "CN", "SMCI", "PMCI"), shape=(20, 24, 20), seed=3)
+        cfg = Config(
+            label_file=csv_path,
+            mri_dir=mri_dir,
+            task="ADCNSMCIPMCI",
+            nb_class=4,
+            num_epochs=1,
+            batch_size=8,
+            lr=1e-3,
+            n_splits=2,
+            model_depth=10,
+            checkpoint_dir=str(tmp_path / "ckpt4"),
+            compute_dtype="float32",
+            loader_threads=2,
+        )
+        results, _ = train_cv(cfg, mesh=mesh8, verbose=False)
+        assert 0.0 <= results["avg"]["ACC"] <= 1.0
+        assert np.isfinite(results["avg"]["SPE"])
+        for m in results["per_fold"]:
+            assert m["cm"].shape == (4, 4)
