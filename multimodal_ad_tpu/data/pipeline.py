@@ -28,9 +28,29 @@ from ..parallel.mesh import data_sharding
 from ..utils import nifti
 
 
-def load_volume(path: str) -> np.ndarray:
-    """Decode one NIfTI volume (accepts path or path+'.gz')."""
+def load_volume(path: str, native: bool | None = None) -> np.ndarray:
+    """Decode one NIfTI volume (accepts path or path+'.gz').
+
+    Defaults to the native C++ decoder (utils/native_loader, pthread-pooled
+    zlib + zero-GIL conversion) whenever it builds, falling back to the
+    pure-NumPy reader per volume on unsupported encodings — the reference
+    parallelizes exactly this decode step with DataLoader worker processes
+    (reference train_ResNet3D.py:146-147). Set MAD_NO_NATIVE_IO=1 to force
+    the Python path.
+    """
+    import os
+
     actual = nifti.exists_with_ext(path) or path
+    use_native = native if native is not None else (
+        os.environ.get("MAD_NO_NATIVE_IO", "0") != "1")
+    if use_native:
+        from ..utils import native_loader
+
+        if native_loader.available():
+            try:
+                return native_loader.load_volume_native(actual)
+            except ValueError:
+                pass  # encoding the native path doesn't cover: fall back
     return nifti.load(actual)
 
 
