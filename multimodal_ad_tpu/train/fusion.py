@@ -259,3 +259,95 @@ def train_fusion_cv(cfg: Config, use_pet: bool = False, use_table: bool = False,
         best_scores.append(best)
     logger.close()
     return best_scores, cfg.checkpoint_dir
+
+
+def test_fusion_models(cfg: Config, test_data, use_pet: bool = False,
+                       use_table: bool = False, table_data=None,
+                       model_kw=None, mesh=None, loader=None, embedder=None,
+                       train_subjects=None, verbose=True,
+                       arch: str = "cross_transformer"):
+    """Fold-ensemble evaluation of the fusion checkpoints over the held-out
+    test split — the cv.test_models twin for the multimodal path
+    (reference train_ResNet3D.py:335-446 applied to the productized
+    network.py fusion model).
+
+    `train_subjects` restricts the table-embedder fit to training rows so
+    no test information leaks into the clinical branch; defaults to every
+    subject not in `test_data`."""
+    mesh = mesh or make_mesh(cfg.mesh_shape)
+    if arch == "daft":
+        from ..models.daft import DAFTResNet
+
+        model = DAFTResNet(num_classes=cfg.nb_class,
+                           dropout_rate=cfg.dropout_rate,
+                           dtype=jnp.dtype(cfg.compute_dtype),
+                           param_dtype=jnp.dtype(cfg.param_dtype),
+                           **(model_kw or {}))
+    else:
+        model = MultimodalClassifier(
+            num_classes=cfg.nb_class, use_pet=use_pet, use_table=use_table,
+            dropout=cfg.dropout_rate, dtype=jnp.dtype(cfg.compute_dtype),
+            param_dtype=jnp.dtype(cfg.param_dtype), **(model_kw or {}))
+    _, eval_step = make_fusion_steps(model, arch)
+
+    table_lookup = None
+    if use_table:
+        if table_data is None:
+            raise ValueError("use_table=True requires table_data")
+        tX, ty, tsubj = table_data
+        if train_subjects is None:
+            test_ids = {r["Subject"] for r in test_data}
+            train_subjects = [s for s in tsubj if s not in test_ids]
+        table_lookup = embed_table_per_fold(tX, ty, tsubj, train_subjects,
+                                            embedder)
+
+    _, tf_eval = make_transforms(False, normalizer=cfg.normalizer)
+    image_keys = ("MRI", "PET") if use_pet else ("MRI",)
+    batcher_kw = dict(batch_size=cfg.batch_size,
+                      num_threads=cfg.loader_threads, image_keys=image_keys)
+    if loader is not None:
+        batcher_kw["loader"] = loader
+    loader_te = VolumeBatcher(test_data, tf_eval, shuffle=False,
+                              table_lookup=table_lookup, **batcher_kw)
+    schedule = make_epoch_schedule(cfg.lr, cfg.num_epochs, cfg.warmup_frac,
+                                   cfg.min_lr_factor)
+
+    sample = next(iter(loader_te))
+    rng = jax.random.PRNGKey(0)
+    if arch == "daft":
+        variables = model.init({"params": rng, "dropout": rng},
+                               jnp.asarray(sample["image"][:1]),
+                               jnp.asarray(sample["table"][:1]), train=False)
+    else:
+        init_kw = {}
+        if use_pet:
+            init_kw["pet"] = jnp.asarray(sample["pet"][:1])
+        if use_table:
+            init_kw["table"] = jnp.asarray(sample["table"][:1])
+        variables = model.init({"params": rng, "dropout": rng},
+                               jnp.asarray(sample["image"][:1]),
+                               train=False, **init_kw)
+    tx = make_optimizer(schedule, cfg.weight_decay, cfg.grad_clip_norm,
+                        "adam")
+    template = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        epoch=jnp.zeros((), jnp.int32), tx=tx, apply_fn=model.apply)
+
+    all_metrics = []
+    for fold in range(1, cfg.n_splits + 1):
+        state, _ = ckpt.restore_state(
+            os.path.join(cfg.checkpoint_dir, f"fusion_best_fold{fold}"),
+            template)
+        state = replicate(state, mesh)
+        _, _, m = _fusion_epoch(eval_step, state, loader_te, mesh,
+                                train=False,
+                                prefetch_depth=cfg.prefetch_depth)
+        all_metrics.append(m)
+        if verbose:
+            print(f"fusion fold {fold} test: ACC={m['ACC']:.4f} "
+                  f"AUC={m['AUC']:.4f}")
+    keys = ("ACC", "PRE", "SEN", "SPE", "F1", "AUC", "MCC")
+    avg = {k: float(np.mean([m[k] for m in all_metrics])) for k in keys}
+    return {"avg": avg, "per_fold": all_metrics}

@@ -145,6 +145,22 @@ class TestFusionLearning:
             assert score >= 0.8, (
                 f"fusion fold {fold} best val score {score:.3f} < 0.8")
 
+        # held-out proof, same bar as the flagship's
+        # (tests/test_learning.py:72-73): the fold checkpoints must
+        # generalize to the untouched 20% test split, not just the val folds
+        from multimodal_ad_tpu.data.splits import stratified_test_split
+        from multimodal_ad_tpu.train.fusion import test_fusion_models
+
+        tr_val, test_data = stratified_test_split(m.data_dict,
+                                                  cfg.split_ratio, cfg.seed)
+        results = test_fusion_models(
+            cfg, test_data, use_pet=True, use_table=True,
+            table_data=table_data,
+            model_kw=dict(dim=16, depth=1, heads=2, dim_head=8, mlp_dim=32),
+            mesh=mesh, embedder=LogRegEmbedder(max_iter=200),
+            train_subjects=[r["Subject"] for r in tr_val], verbose=False)
+        assert results["avg"]["AUC"] >= 0.85, results["avg"]
+
 
 @pytest.mark.slow
 class TestDAFTFusion:
