@@ -44,6 +44,14 @@ def main(argv=None):
                         "traffic, the TPU-speed path (use --platform '')")
     p.add_argument("--chunk", type=int, default=100,
                    help="meta-steps fused per dispatch with --device-prior")
+    p.add_argument("--regression", action="store_true",
+                   help="meta-train the bar-distribution REGRESSION network "
+                        "(icl_regression.py) instead of the classifier; "
+                        "task sampling is always on-device in this mode")
+    p.add_argument("--save-dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="weight dtype in the saved msgpack (float16 halves "
+                        "the asset size; loaders upcast to float32)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -54,32 +62,68 @@ def main(argv=None):
 
     from flax import serialization
 
-    from ..tabular.icl import ICLConfig, pretrain_icl
-
-    cfg = ICLConfig() if args.d_model is None else ICLConfig(d_model=args.d_model)
-    init_params = None
-    if args.resume_from:
+    if args.regression:
         import jax
-        import jax.numpy as jnp
+
+        from ..tabular.icl_regression import (RegICLConfig,
+                                              RegICLTransformer,
+                                              pretrain_icl_regression,
+                                              sample_template_task)
+
+        cfg = (RegICLConfig() if args.d_model is None
+               else RegICLConfig(d_model=args.d_model))
+        init_params = None
+        if args.resume_from:
+            model = RegICLTransformer(cfg)
+            t = sample_template_task(cfg)
+            template = model.init(jax.random.PRNGKey(0), t["x_ctx"],
+                                  t["y_ctx"], t["ctx_mask"], t["x_qry"])
+            with open(args.resume_from, "rb") as f:
+                init_params = serialization.from_bytes(template, f.read())
+            init_params = jax.tree_util.tree_map(
+                lambda a: a.astype("float32"), init_params)
+            print(f"warm start from {args.resume_from}")
+        params, _ = pretrain_icl_regression(
+            cfg, steps=args.steps, batch=args.batch, n_ctx=args.n_ctx,
+            n_qry=args.n_qry, lr=args.lr, seed=args.seed, verbose=True,
+            init_params=init_params, chunk=args.chunk)
+    else:
+        from ..tabular.icl import ICLConfig, pretrain_icl
+
+        cfg = (ICLConfig() if args.d_model is None
+               else ICLConfig(d_model=args.d_model))
+        init_params = None
+        if args.resume_from:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ..tabular.icl import ICLTransformer, sample_tasks
+
+            model = ICLTransformer(cfg)
+            t = sample_tasks(np.random.default_rng(0), 1, cfg, 8, 4)
+            template = model.init(
+                jax.random.PRNGKey(0), jnp.asarray(t["x_ctx"]),
+                jnp.asarray(t["y_ctx"]), jnp.asarray(t["ctx_mask"]),
+                jnp.asarray(t["x_qry"]))
+            with open(args.resume_from, "rb") as f:
+                init_params = serialization.from_bytes(template, f.read())
+            init_params = jax.tree_util.tree_map(
+                lambda a: a.astype("float32"), init_params)
+            print(f"warm start from {args.resume_from}")
+
+        params, _ = pretrain_icl(cfg, steps=args.steps, batch=args.batch,
+                                 n_ctx=args.n_ctx, n_qry=args.n_qry,
+                                 lr=args.lr, seed=args.seed, verbose=True,
+                                 init_params=init_params,
+                                 device_prior=args.device_prior,
+                                 chunk=args.chunk)
+    if args.save_dtype == "float16":
+        import jax
         import numpy as np
 
-        from ..tabular.icl import ICLTransformer, sample_tasks
-
-        model = ICLTransformer(cfg)
-        t = sample_tasks(np.random.default_rng(0), 1, cfg, 8, 4)
-        template = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(t["x_ctx"]),
-            jnp.asarray(t["y_ctx"]), jnp.asarray(t["ctx_mask"]),
-            jnp.asarray(t["x_qry"]))
-        with open(args.resume_from, "rb") as f:
-            init_params = serialization.from_bytes(template, f.read())
-        print(f"warm start from {args.resume_from}")
-
-    params, _ = pretrain_icl(cfg, steps=args.steps, batch=args.batch,
-                             n_ctx=args.n_ctx, n_qry=args.n_qry, lr=args.lr,
-                             seed=args.seed, verbose=True,
-                             init_params=init_params,
-                             device_prior=args.device_prior, chunk=args.chunk)
+        params = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float16), params)
     blob = serialization.to_bytes(params)
     with open(args.out, "wb") as f:
         f.write(blob)

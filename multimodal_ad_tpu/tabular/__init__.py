@@ -8,8 +8,10 @@ with the in-context learner as the default backend.
 from .embedding import OoFEmbedding, TabPFNEmbedding
 from .ensembles import (AutoICLClassifier, GreedyWeightedEnsemble,
                         make_stacking_classifier, make_voting_classifier)
-from .hpo import TunedICLClassifier
+from .hpo import SeedEnsembleICL, TunedICLClassifier
 from .icl import ICLClassifier, ICLConfig, ICLTransformer, pretrain_icl
+from .icl_regression import (RegICLConfig, RegICLTransformer,
+                             pretrain_icl_regression)
 from .many_class import ManyClassClassifier
 from .regression import (DecisionTreeICLRegressor, ICLRegressor,
                          RandomForestICLRegressor, TunedICLRegressor)
@@ -35,10 +37,12 @@ __all__ = [
     "OoFEmbedding", "TabPFNEmbedding", "ICLClassifier", "ICLConfig",
     "ICLTransformer", "pretrain_icl", "ManyClassClassifier",
     "AutoICLClassifier", "GreedyWeightedEnsemble", "TunedICLClassifier",
+    "SeedEnsembleICL",
     "TabularUnsupervisedModel", "DecisionTreeICLClassifier",
     "RandomForestICLClassifier", "make_voting_classifier",
     "make_stacking_classifier", "safe_roc_auc_score",
     "score_classification", "score_regression",
+    "RegICLConfig", "RegICLTransformer", "pretrain_icl_regression",
     "ICLRegressor", "TunedICLRegressor", "DecisionTreeICLRegressor",
     "RandomForestICLRegressor", "get_device", "infer_categorical_features",
     "is_icl_estimator", "product_dict", "softmax",

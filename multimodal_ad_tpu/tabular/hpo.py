@@ -12,7 +12,10 @@ Search space (ICLClassifier inference knobs):
 - softmax_temperature, context_size, context subsample seed,
 - feature preprocessing: none (z-score is built in), quantile rank-gauss,
   or ZCA whitening (the reference's TabPFN HPO likewise searches a
-  preprocessing-transform dimension, hpo/search_space.py:18-244).
+  preprocessing-transform dimension, hpo/search_space.py:18-244),
+- seed-ensemble size (+ optionally preprocess-diverse members) — the
+  N_ensemble_configurations dimension of the reference's space
+  (hpo/search_space.py:18-244).
 """
 
 from __future__ import annotations
@@ -24,6 +27,41 @@ from sklearn.model_selection import StratifiedKFold
 from .scoring import score_classification
 
 
+class SeedEnsembleICL(ClassifierMixin, BaseEstimator):
+    """Average predict_proba over members that differ in context-subsample
+    seed (and, when `diverse_preprocess`, cycle through feature
+    transforms) — the reference HPO's N_ensemble_configurations analogue;
+    each member is one more jit'd forward, no extra training."""
+
+    def __init__(self, base_estimator=None, n_members: int = 4,
+                 diverse_preprocess: bool = False):
+        self.base_estimator = base_estimator
+        self.n_members = n_members
+        self.diverse_preprocess = diverse_preprocess
+
+    def fit(self, X, y):
+        from .icl import ICLClassifier
+
+        base = (self.base_estimator if self.base_estimator is not None
+                else ICLClassifier())
+        cycle = ([None, "whiten", "quantile"] if self.diverse_preprocess
+                 else [base.get_params().get("preprocess", None)])
+        self.members_ = []
+        for i in range(self.n_members):
+            est = clone(base)
+            est.set_params(seed=int(est.get_params().get("seed", 0)) + 37 * i,
+                           preprocess=cycle[i % len(cycle)])
+            self.members_.append(est.fit(X, y))
+        self.classes_ = self.members_[0].classes_
+        return self
+
+    def predict_proba(self, X):
+        return np.mean([m.predict_proba(X) for m in self.members_], axis=0)
+
+    def predict(self, X):
+        return self.classes_[np.argmax(self.predict_proba(X), axis=1)]
+
+
 def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
     return {
         "softmax_temperature": float(rng.choice([0.5, 0.75, 1.0, 1.25, 1.5])),
@@ -32,6 +70,8 @@ def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
         "seed": int(rng.integers(0, 10_000)),
         "preprocess": [None, None, "quantile", "whiten"][
             int(rng.integers(0, 4))],
+        "n_ensemble": int(rng.choice([1, 1, 2, 4])),
+        "diverse_preprocess": bool(rng.random() < 0.3),
     }
 
 
@@ -54,6 +94,10 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
         est.set_params(softmax_temperature=trial["softmax_temperature"],
                        context_size=trial["context_size"], seed=trial["seed"],
                        preprocess=trial["preprocess"])
+        if trial.get("n_ensemble", 1) > 1:
+            return SeedEnsembleICL(
+                est, n_members=trial["n_ensemble"],
+                diverse_preprocess=trial.get("diverse_preprocess", False))
         return est
 
     def fit(self, X, y):

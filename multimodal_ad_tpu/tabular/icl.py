@@ -39,10 +39,14 @@ from sklearn.base import BaseEstimator, ClassifierMixin
 
 @dataclass(frozen=True)
 class ICLConfig:
-    d_model: int = 128
-    n_heads: int = 4
-    n_layers: int = 4
-    d_ff: int = 256
+    """Default capacity (d_model 256 / 6 layers) chosen in round 3: the
+    round-2 asset (d_model 128 / 4 layers) measurably plateaued below the
+    sklearn baselines on 2 of 6 benchmark families (assets/README.md)."""
+
+    d_model: int = 256
+    n_heads: int = 8
+    n_layers: int = 6
+    d_ff: int = 1024
     max_features: int = 192
     max_classes: int = 10
     max_context: int = 512
@@ -120,11 +124,21 @@ class ICLTransformer(nn.Module):
 # Synthetic-task prior for meta-training
 # ----------------------------------------------------------------------
 
+def _rand_cut_labels(rng: np.random.Generator, score, c: int):
+    """Bucket `score` at RANDOM cut quantiles (sorted uniforms in
+    [0.05, 0.95]) instead of equal-frequency cuts — every bucketed task
+    family then carries random class imbalance, which real clinical
+    labels do (equal-frequency cuts would meta-train the network only on
+    balanced contexts)."""
+    u = np.sort(rng.uniform(0.05, 0.95, c - 1))
+    return np.digitize(score, np.quantile(score, u))
+
+
 def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
                  n_ctx: int, n_qry: int, var_ctx: bool = True):
     """Random-function prior: gaussian/mixed/correlated features ->
-    random score (cluster, latent-linear, pairwise-interaction, or shallow
-    MLP) -> quantile-bucketed labels (+ label noise).
+    random score (cluster, latent-linear, pairwise-interaction, periodic,
+    or shallow MLP) -> quantile-bucketed labels (+ label noise).
 
     With ``var_ctx`` each task draws a random VALID context length in
     [16, n_ctx] (physical shape stays static; the tail is zeroed and masked
@@ -138,19 +152,30 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
     y = np.zeros((batch, n), np.int64)
     for b in range(batch):
         f = int(rng.integers(3, max(4, F // 2) + 1))
-        # full class range: the regressor's bucket decoding uses every
-        # label id, so all label embeddings must be meta-trained
-        c = int(rng.integers(2, C + 1))
+        # class count skewed toward binary (half of clinical tasks are
+        # 2-class diagnoses) but still covering the full alphabet so every
+        # label embedding gets meta-trained
+        c = 2 if (C > 2 and rng.random() < 0.5) else int(rng.integers(2, C + 1))
         kind = rng.random()
-        if kind < 0.30:
+        if kind < 0.22:
             # cluster prior: class-conditional gaussians with random
             # separation (covers the "shifted means" regime of clinical
-            # tables)
+            # tables); a few columns quantize to integer codes — the
+            # mixed categorical/numeric regime of real clinical tables
             sep = rng.uniform(0.5, 3.0)
             centers = rng.normal(size=(c, f)).astype(np.float32) * sep
-            lab = rng.integers(0, c, n)
+            # class frequencies from a Dirichlet — clinical tables are
+            # rarely balanced (e.g. 8% positives); a uniform label draw
+            # would meta-train the network only on ~balanced contexts
+            probs = rng.dirichlet(np.full(c, rng.uniform(0.4, 3.0)))
+            probs = 0.9 * probs + 0.1 / c  # keep every class reachable
+            lab = rng.choice(c, size=n, p=probs)
             xs = centers[lab] + rng.normal(size=(n, f)).astype(np.float32)
-        elif kind < 0.45:
+            n_cat = int(rng.integers(0, max(1, f // 3) + 1))
+            for jcol in rng.choice(f, n_cat, replace=False):
+                xs[:, jcol] = np.digitize(xs[:, jcol],
+                                          [-0.5, 0.5]).astype(np.float32)
+        elif kind < 0.40:
             # correlated-latent prior: observed features are linear mixes of
             # fewer latent factors plus small independent noise — the
             # near-duplicate-columns regime clinical tables hit constantly.
@@ -172,20 +197,39 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
                 evals, evecs = np.linalg.eigh(cov)
                 w = evecs @ (rng.normal(size=f) / np.sqrt(evals))
                 score = (xs - xs.mean(0)) @ w.astype(np.float32)
-            qs = np.quantile(score, np.linspace(0, 1, c + 1)[1:-1])
-            lab = np.digitize(score, qs)
-        elif kind < 0.58:
+            lab = _rand_cut_labels(rng, score, c)
+        elif kind < 0.62:
             # pairwise-interaction prior: score dominated by products of
             # feature pairs (XOR-like boundaries that no linear readout of
-            # single features can express)
+            # single features can express). 40% of tasks use SIGN products
+            # — crisp quadrant/XOR boundaries with zero magnitude cue, the
+            # regime where GradBoost beat the round-2 asset 1.00 vs 0.77.
             xs = rng.normal(size=(n, f)).astype(np.float32)
             n_pairs = int(rng.integers(1, 4))
-            score = 0.2 * xs @ rng.normal(size=f).astype(np.float32)
+            hard = rng.random() < 0.5
+            score = ((0.0 if hard else 0.2)
+                     * xs @ rng.normal(size=f).astype(np.float32))
             for _ in range(n_pairs):
                 i, j = rng.choice(f, 2, replace=False)
-                score = score + rng.normal() * xs[:, i] * xs[:, j]
-            qs = np.quantile(score, np.linspace(0, 1, c + 1)[1:-1])
-            lab = np.digitize(score, qs)
+                term = xs[:, i] * xs[:, j]
+                if hard:
+                    term = np.sign(term)
+                score = score + rng.normal() * term
+            lab = _rand_cut_labels(rng, score, c)
+        elif kind < 0.74:
+            # periodic prior: sinusoidal functions of single features —
+            # oscillating decision surfaces (and the smooth nonlinear
+            # regression regime) that neither clusters nor one MLP layer
+            # of tanh units cover well
+            xs = rng.normal(size=(n, f)).astype(np.float32)
+            n_waves = int(rng.integers(1, 3))
+            score = 0.1 * xs @ rng.normal(size=f).astype(np.float32)
+            for _ in range(n_waves):
+                i = int(rng.integers(0, f))
+                w = rng.uniform(1.0, 4.0)
+                ph = rng.uniform(0, 2 * np.pi)
+                score = score + rng.normal() * np.sin(w * xs[:, i] + ph)
+            lab = _rand_cut_labels(rng, score, c)
         else:
             # function prior: random shallow MLP score, quantile-bucketed
             xs = rng.normal(size=(n, f)).astype(np.float32)
@@ -196,9 +240,13 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
                          + rng.normal(size=8).astype(np.float32))
             score = (h1 @ rng.normal(size=8).astype(np.float32)
                      + 0.3 * xs @ rng.normal(size=f).astype(np.float32))
-            qs = np.quantile(score, np.linspace(0, 1, c + 1)[1:-1])
-            lab = np.digitize(score, qs)
-        flip = rng.random(lab.shape) < 0.05
+            lab = _rand_cut_labels(rng, score, c)
+        # label-noise RATE is itself drawn per task, mostly near zero — a
+        # fixed 5% flip teaches the network that no context is ever fully
+        # predictable and caps its confidence on clean separable tables
+        flip_rate = (rng.uniform(0.0, 0.02) if rng.random() < 0.6
+                     else rng.uniform(0.02, 0.12))
+        flip = rng.random(lab.shape) < flip_rate
         lab = np.where(flip, rng.integers(0, c, n), lab)
         x[b, :, :f] = xs
         y[b] = lab
@@ -269,8 +317,10 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
     if device_prior:
         from .icl_prior import sample_tasks_device
 
-        @jax.jit
-        def run_chunk(params, opt_state, key):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames="length")
+        def run_chunk(params, opt_state, key, length):
             def body(carry, _):
                 params, opt_state, key = carry
                 key, tk = jax.random.split(key)
@@ -281,16 +331,21 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
                         key), loss
 
             (params, opt_state, key), losses = jax.lax.scan(
-                body, (params, opt_state, key), None, length=chunk)
+                body, (params, opt_state, key), None, length=length)
             return params, opt_state, key, losses.mean()
 
         key = jax.random.PRNGKey(seed)
         done = 0
         while done < steps:
-            params, opt_state, key, mloss = run_chunk(params, opt_state, key)
-            done += chunk
+            # final chunk sized to the remainder (one extra compile) so
+            # --steps runs EXACTLY that many optimizer steps — an overshoot
+            # would run at the exhausted cosine schedule's lr=0
+            n = min(chunk, steps - done)
+            params, opt_state, key, mloss = run_chunk(params, opt_state,
+                                                      key, n)
+            done += n
             if verbose:
-                print(f"[icl pretrain/device] step {min(done, steps)}/{steps}"
+                print(f"[icl pretrain/device] step {done}/{steps}"
                       f" loss {float(mloss):.4f}", flush=True)
         return params, cfg
 
@@ -332,21 +387,38 @@ def _load_params_file(cfg: ICLConfig, path: str):
                           jnp.asarray(t["y_ctx"]), jnp.asarray(t["ctx_mask"]),
                           jnp.asarray(t["x_qry"]))
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        loaded = serialization.from_bytes(template, f.read())
+    # from_bytes validates tree STRUCTURE but not array shapes — a
+    # d_model/d_ff/max_features mismatch would load silently and only fail
+    # later with an opaque ScopeParamShapeError; compare leaves here so the
+    # caller's helpful config-mismatch message fires instead.
+    mismatches = [
+        f"{jax.tree_util.keystr(k)}: asset {np.shape(v)} != expected {np.shape(t)}"
+        for (k, v), t in zip(jax.tree_util.tree_leaves_with_path(loaded),
+                             jax.tree_util.tree_leaves(template))
+        if np.shape(v) != np.shape(t)]
+    if mismatches:
+        raise ValueError("array shape mismatch: " + "; ".join(mismatches[:4]))
+    # assets may be stored in reduced precision; compute expects fp32
+    return jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), loaded)
 
 
 def load_default_params(cfg: ICLConfig):
     """Meta-trained weights for `cfg`: a MAD_ICL_ASSET override is loaded
-    for ANY config (a shape mismatch raises so a user-supplied asset is
-    never silently ignored); the bundled asset only matches the default
-    ICLConfig. Returns None when no asset applies (the estimator then
-    self-pretrains)."""
+    for ANY config (a dangling path or shape mismatch raises so a
+    user-supplied asset is never silently ignored); the bundled asset only
+    matches the default ICLConfig. Returns None when no asset applies (the
+    estimator then self-pretrains)."""
     import os
 
     env = os.environ.get("MAD_ICL_ASSET")
     if env:
         if not os.path.isfile(env):
-            return None  # dangling override: degrade like a missing asset
+            # a typo'd path must not be indistinguishable from "no override"
+            # (the estimator would silently self-pretrain at lower quality)
+            raise FileNotFoundError(
+                f"MAD_ICL_ASSET={env} does not exist; unset the variable to "
+                "use the bundled asset or point it at a real weight file")
         try:
             return _load_params_file(cfg, env)
         except Exception as e:
@@ -359,10 +431,108 @@ def load_default_params(cfg: ICLConfig):
     path = default_asset_path()
     if not os.path.isfile(path):
         return None
-    return _load_params_file(cfg, path)
+    try:
+        return _load_params_file(cfg, path)
+    except ValueError as e:
+        # a stale bundled asset (e.g. trained for an older default config)
+        # degrades like a missing one — only explicit MAD_ICL_ASSET
+        # overrides hard-fail on mismatch
+        import warnings
+
+        warnings.warn(f"ignoring bundled ICL asset {path}: {e}")
+        return None
 
 
-class ICLClassifier(ClassifierMixin, BaseEstimator):
+class FeaturePreprocessMixin:
+    """Feature padding + optional fitted transform (whiten/quantile),
+    shared by ICLClassifier and ICLRegressor. Subclasses provide `_cfg`
+    (with .max_features) and a `preprocess` attribute."""
+
+    def _pad_features(self, X):
+        X = np.asarray(X, np.float32)
+        X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+        F = self._cfg.max_features
+        if X.shape[1] > F:
+            raise ValueError(
+                f"{X.shape[1]} features > max_features={F}; raise "
+                f"{type(self._cfg).__name__}.max_features")
+        return np.pad(X, ((0, 0), (0, F - X.shape[1])))
+
+    def _fit_preprocess(self, X, kind="__self__"):
+        """Fit the optional feature transform on the raw training matrix
+        and return the transformed matrix (before padding)."""
+        if kind == "__self__":
+            kind = self.preprocess
+        X = np.nan_to_num(np.asarray(X, np.float32),
+                          nan=0.0, posinf=0.0, neginf=0.0)
+        if kind is None:
+            self._pre = None
+            return X
+        if kind == "whiten":
+            mu = X.mean(0)
+            cov = np.cov(X - mu, rowvar=False)
+            cov = np.atleast_2d(cov) + 1e-6 * np.eye(X.shape[1])
+            evals, evecs = np.linalg.eigh(cov)
+            # clip tiny eigenvalues RELATIVE to the largest so pure-noise
+            # directions are not blown up to unit scale
+            evals = np.maximum(evals, 1e-4 * evals.max() + 1e-12)
+            zca = (evecs / np.sqrt(evals)) @ evecs.T
+            self._pre = ("whiten", mu.astype(np.float32),
+                         zca.astype(np.float32))
+            return (X - mu) @ self._pre[2]
+        if kind == "quantile":
+            from sklearn.preprocessing import QuantileTransformer
+
+            qt = QuantileTransformer(
+                n_quantiles=min(64, len(X)), output_distribution="normal",
+                random_state=0).fit(X)
+            self._pre = ("quantile", qt)
+            return qt.transform(X).astype(np.float32)
+        if kind == "onehot":
+            # expand low-cardinality integer columns to indicators (how
+            # TabPFN's preprocessing treats categoricals) — an integer
+            # code's ordering is arbitrary, indicators let the network
+            # read each category independently
+            from .utils import infer_categorical_features
+
+            cats = infer_categorical_features(X)
+            values = [np.unique(X[:, j]) for j in cats]
+            self._pre = ("onehot", cats, values)
+            return self._onehot_expand(X, cats, values)
+        raise ValueError(f"unknown preprocess={kind!r}")
+
+    @staticmethod
+    def _onehot_expand(X, cats, values):
+        keep = [j for j in range(X.shape[1]) if j not in cats]
+        cols = [X[:, keep]] if keep else []
+        for j, vals in zip(cats, values):
+            cols.append((X[:, j:j + 1] == vals[None, :]).astype(np.float32))
+        return np.concatenate(cols, axis=1) if cols else X
+
+    def _apply_preprocess(self, X):
+        X = np.nan_to_num(np.asarray(X, np.float32),
+                          nan=0.0, posinf=0.0, neginf=0.0)
+        pre = getattr(self, "_pre", None)
+        if pre is None:
+            return X
+        if pre[0] == "whiten":
+            return (X - pre[1]) @ pre[2]
+        if pre[0] == "onehot":
+            return self._onehot_expand(X, pre[1], pre[2])
+        return pre[1].transform(X).astype(np.float32)
+
+    @staticmethod
+    def context_bucket(n_rows: int, max_context: int) -> int:
+        """Smallest power-of-two bucket (>= 64, capped at max_context) that
+        holds the context — a 50-row fit runs 64-token attention instead of
+        max_context, at one jit compile per bucket."""
+        bucket = 64
+        while bucket < n_rows:
+            bucket *= 2
+        return min(bucket, max_context)
+
+
+class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
     """sklearn estimator over the prior-fitted network.
 
     Implements the interface surface the reference uses from
@@ -375,6 +545,9 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
     TabPFN's preprocessing-transform search dimension (reference
     hpo/search_space.py:18-244). `preprocess` options:
 
+    - 'auto' (default): pick among the options below with a small internal
+      stratified validation split at fit() time — plain ICL matches the
+      Auto/Tuned wrappers on e.g. correlated tables without needing them,
     - None: context z-scoring only (built into the forward),
     - 'whiten': ZCA whitening fit on the training set — equalizes variance
       across ALL directions, exposing signal hidden in low-variance
@@ -382,6 +555,8 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
       correlated clinical measurements),
     - 'quantile': rank-gauss per-feature transform (robust to heavy tails
       and monotone distortions).
+
+    The resolved choice lands in `preprocess_` after fit.
 
     Meta-trained weights are shared process-wide per (cfg, seed,
     pretrain_steps) so clones don't re-pretrain.
@@ -393,7 +568,7 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
                  pretrain_steps: int = 300, seed: int = 0,
                  softmax_temperature: float = 1.0,
                  context_size: int | None = None,
-                 preprocess: str | None = None):
+                 preprocess: str | None = "auto"):
         self.params = params
         self.cfg = cfg
         self.pretrain_steps = pretrain_steps
@@ -411,11 +586,19 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
         return ICLTransformer(self._cfg)
 
     def _ensure_params(self):
+        import os
+
         if self.params is not None:
             return self.params
-        # asset path participates in the key so MAD_ICL_ASSET changes
-        # mid-process aren't masked by an earlier cached load
-        key = (self._cfg, self.seed, self.pretrain_steps, default_asset_path())
+        # asset (path, mtime) participates in the key so MAD_ICL_ASSET
+        # changes — AND in-place overwrites of the same file, e.g. after
+        # cli/pretrain_icl — aren't masked by an earlier cached load
+        asset = default_asset_path()
+        try:
+            stamp = os.path.getmtime(asset)
+        except OSError:
+            stamp = None
+        key = (self._cfg, self.seed, self.pretrain_steps, asset, stamp)
         if key not in ICLClassifier._param_cache:
             bundled = load_default_params(self._cfg)
             if bundled is not None:
@@ -425,58 +608,63 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
                     self._cfg, steps=self.pretrain_steps, seed=self.seed)
         return ICLClassifier._param_cache[key]
 
-    def _pad_features(self, X):
-        X = np.asarray(X, np.float32)
-        X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
-        F = self._cfg.max_features
-        if X.shape[1] > F:
-            raise ValueError(
-                f"{X.shape[1]} features > max_features={F}; raise ICLConfig.max_features")
-        return np.pad(X, ((0, 0), (0, F - X.shape[1])))
+    def _select_preprocess(self, X, y):
+        """Pick the feature transform with a small internal stratified
+        validation split (round-2 verdict weak #3: whiten/quantile existed
+        but nothing selected them without the Auto/Tuned wrappers). Ties
+        resolve to the earlier candidate, so None wins when transforms
+        don't help."""
+        from sklearn.model_selection import train_test_split
 
-    def _fit_preprocess(self, X):
-        """Fit the optional feature transform on the raw training matrix
-        and return the transformed matrix (before padding)."""
-        X = np.nan_to_num(np.asarray(X, np.float32),
-                          nan=0.0, posinf=0.0, neginf=0.0)
-        if self.preprocess is None:
-            self._pre = None
-            return X
-        if self.preprocess == "whiten":
-            mu = X.mean(0)
-            cov = np.cov(X - mu, rowvar=False)
-            cov = np.atleast_2d(cov) + 1e-6 * np.eye(X.shape[1])
-            evals, evecs = np.linalg.eigh(cov)
-            # clip tiny eigenvalues RELATIVE to the largest so pure-noise
-            # directions are not blown up to unit scale
-            evals = np.maximum(evals, 1e-4 * evals.max() + 1e-12)
-            zca = (evecs / np.sqrt(evals)) @ evecs.T
-            self._pre = ("whiten", mu.astype(np.float32),
-                         zca.astype(np.float32))
-            return (X - mu) @ self._pre[2]
-        if self.preprocess == "quantile":
-            from sklearn.preprocessing import QuantileTransformer
+        y = np.asarray(y)
+        if len(X) < 24:
+            return None  # too few rows for a meaningful holdout
+        idx = np.arange(len(X))
+        try:
+            tr, vl = train_test_split(idx, test_size=0.25,
+                                      random_state=self.seed, stratify=y)
+        except ValueError:  # a class with < 2 members
+            tr, vl = train_test_split(idx, test_size=0.25,
+                                      random_state=self.seed)
+        kinds = [None, "whiten", "quantile"]
+        from .utils import infer_categorical_features
 
-            qt = QuantileTransformer(
-                n_quantiles=min(64, len(X)), output_distribution="normal",
-                random_state=0).fit(X)
-            self._pre = ("quantile", qt)
-            return qt.transform(X).astype(np.float32)
-        raise ValueError(f"unknown preprocess={self.preprocess!r}")
-
-    def _apply_preprocess(self, X):
-        X = np.nan_to_num(np.asarray(X, np.float32),
-                          nan=0.0, posinf=0.0, neginf=0.0)
-        pre = getattr(self, "_pre", None)
-        if pre is None:
-            return X
-        if pre[0] == "whiten":
-            return (X - pre[1]) @ pre[2]
-        return pre[1].transform(X).astype(np.float32)
+        if infer_categorical_features(X):
+            kinds.append("onehot")  # only meaningful with categorical cols
+        scores = {}
+        for kind in kinds:
+            sub = ICLClassifier(
+                params=self.params, cfg=self.cfg,
+                pretrain_steps=self.pretrain_steps, seed=self.seed,
+                softmax_temperature=self.softmax_temperature,
+                context_size=self.context_size, preprocess=kind)
+            try:
+                sub.fit(X[tr], y[tr])
+                scores[kind] = float((sub.predict(X[vl]) == y[vl]).mean())
+            except Exception:
+                continue
+        if not scores:
+            return None
+        # A transform must clear the identity baseline by a real margin
+        # (~2 holdout samples): holdout noise otherwise flips axis-aligned
+        # tasks into 'whiten', which rotates their structure away.
+        margin = max(0.02, 2.0 / max(len(vl), 1))
+        base = scores.get(None, -1.0)
+        best_kind, best_acc = None, base
+        for kind in kinds[1:]:
+            if scores.get(kind, -1.0) > max(base + margin, best_acc):
+                best_kind, best_acc = kind, scores[kind]
+        return best_kind
 
     def fit(self, X, y):
-        X = self._pad_features(self._fit_preprocess(X))
+        X = np.nan_to_num(np.asarray(X, np.float32),
+                          nan=0.0, posinf=0.0, neginf=0.0)
         y = np.asarray(y)
+        kind = self.preprocess
+        if kind == "auto":
+            kind = self._select_preprocess(X, y)
+        self.preprocess_ = kind
+        X = self._pad_features(self._fit_preprocess(X, kind))
         self.classes_, y_idx = np.unique(y, return_inverse=True)
         if len(self.classes_) > self._cfg.max_classes:
             raise ValueError(
@@ -516,7 +704,7 @@ class ICLClassifier(ClassifierMixin, BaseEstimator):
             # already at its floor of one slot): keep a uniform n_max subset
             sel = sel[:n_max]
             X, y_idx = X[sel], y_idx[sel]
-        pad = self._cfg.max_context - len(X)
+        pad = self.context_bucket(len(X), self._cfg.max_context) - len(X)
         self._fitted = {
             "x_ctx": np.pad(X, ((0, pad), (0, 0)))[None],
             "y_ctx": np.pad(y_idx, (0, pad)).astype(np.int32)[None],

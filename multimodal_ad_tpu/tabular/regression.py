@@ -5,74 +5,221 @@ classifier one (TabPFNRegressor, DecisionTree/RandomForest regressors,
 AutoTabPFNRegressor, TunedTabPFNRegressor — reference
 models/tabpfn-extensions/src/tabpfn_extensions/__init__.py:9-31).
 
-`ICLRegressor` reuses the SAME meta-trained prior-fitted network as
-ICLClassifier via target bucketing — the TabPFN v2 approach of modeling a
-continuous target as a distribution over value buckets:
-
-- fit(): z-score y, split it into `n_buckets` quantile buckets, relabel the
-  context with bucket ids,
-- predict(): bucket probabilities from the in-context forward, decoded as
-  the expectation of per-bucket conditional means (Riemann decoding),
-- no gradients at inference, exactly like the classifier.
+`ICLRegressor` is backed by the dedicated bar-distribution network
+(icl_regression.py): context rows embed the continuous target, the head
+emits a piecewise-uniform distribution over context-normalized target
+space, and decoding takes the mean/median/quantiles of that distribution —
+the TabPFN v2 regression design (reference utils.py:302-440 surface).
+No gradients at inference, exactly like the classifier.
 """
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 from sklearn.base import BaseEstimator, RegressorMixin, clone
 from sklearn.tree import DecisionTreeRegressor
 
-from .icl import ICLClassifier
+from .icl import FeaturePreprocessMixin, _zscore_by_ctx
 
 
-class ICLRegressor(RegressorMixin, BaseEstimator):
+class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
+    """sklearn regressor over the bar-distribution in-context network.
+
+    Mirrors the TabPFNRegressor interface the reference uses: fit /
+    predict (with `output_type` mean|median|quantiles) / get_embeddings.
+    `preprocess="auto"` (default) picks the feature transform by internal
+    validation R², same mechanism as ICLClassifier."""
+
+    _param_cache: dict = {}
+    _fwd_cache: dict = {}
+
     def __init__(self, params=None, cfg=None, pretrain_steps: int = 300,
-                 seed: int = 0, n_buckets: int = 8,
-                 softmax_temperature: float = 1.0,
+                 seed: int = 0, softmax_temperature: float = 1.0,
                  context_size: int | None = None,
-                 preprocess: str | None = None):
+                 preprocess: str | None = "auto"):
         self.params = params
         self.cfg = cfg
         self.pretrain_steps = pretrain_steps
         self.seed = seed
-        self.n_buckets = n_buckets
         self.softmax_temperature = softmax_temperature
         self.context_size = context_size
         self.preprocess = preprocess
 
+    @property
+    def _cfg(self):
+        from .icl_regression import RegICLConfig
+
+        return self.cfg or RegICLConfig()
+
+    def _ensure_params(self):
+        import os
+
+        from .icl_regression import (default_reg_asset_path,
+                                     load_default_reg_params,
+                                     pretrain_icl_regression)
+
+        if self.params is not None:
+            return self.params
+        asset = default_reg_asset_path()
+        try:
+            stamp = os.path.getmtime(asset)
+        except OSError:
+            stamp = None
+        key = (self._cfg, self.seed, self.pretrain_steps, asset, stamp)
+        if key not in ICLRegressor._param_cache:
+            bundled = load_default_reg_params(self._cfg)
+            if bundled is not None:
+                ICLRegressor._param_cache[key] = bundled
+            else:
+                ICLRegressor._param_cache[key], _ = pretrain_icl_regression(
+                    self._cfg, steps=self.pretrain_steps, seed=self.seed)
+        return ICLRegressor._param_cache[key]
+
+    @property
+    def _forward(self):
+        from .icl_regression import RegICLTransformer
+
+        cfg = self._cfg
+        if cfg not in ICLRegressor._fwd_cache:
+            model = RegICLTransformer(cfg)
+
+            @jax.jit
+            def fwd(params, x_ctx, y_ctx, ctx_mask, x_qry):
+                xc, xq = _zscore_by_ctx(x_ctx, x_qry, ctx_mask)
+                return model.apply(params, xc, y_ctx, ctx_mask, xq)
+
+            ICLRegressor._fwd_cache[cfg] = fwd
+        return ICLRegressor._fwd_cache[cfg]
+
+    def _select_preprocess(self, X, y):
+        """Pick the feature transform by internal-validation R²."""
+        from sklearn.model_selection import train_test_split
+
+        if len(X) < 24:
+            return None
+        idx = np.arange(len(X))
+        tr, vl = train_test_split(idx, test_size=0.25,
+                                  random_state=self.seed)
+        var = float(np.var(y[vl]))
+        if var < 1e-12:
+            return None
+        scores = {}
+        for kind in (None, "whiten", "quantile"):
+            sub = ICLRegressor(
+                params=self.params, cfg=self.cfg,
+                pretrain_steps=self.pretrain_steps, seed=self.seed,
+                softmax_temperature=self.softmax_temperature,
+                context_size=self.context_size, preprocess=kind)
+            try:
+                sub.fit(X[tr], y[tr])
+                mse = float(np.mean((sub.predict(X[vl]) - y[vl]) ** 2))
+            except Exception:
+                continue
+            scores[kind] = 1.0 - mse / var
+        if not scores:
+            return None
+        # identity baseline wins ties/noise; a transform must clear it by
+        # a real R² margin (same rationale as the classifier's selector)
+        base = scores.get(None, -np.inf)
+        best_kind, best_r2 = None, base
+        for kind in ("whiten", "quantile"):
+            if scores.get(kind, -np.inf) > max(base + 0.02, best_r2):
+                best_kind, best_r2 = kind, scores[kind]
+        return best_kind
+
     def fit(self, X, y):
+        X = np.nan_to_num(np.asarray(X, np.float32),
+                          nan=0.0, posinf=0.0, neginf=0.0)
         y = np.asarray(y, np.float64)
-        self._mean, self._std = float(y.mean()), float(max(y.std(), 1e-9))
-        z = (y - self._mean) / self._std
+        kind = self.preprocess
+        if kind == "auto":
+            kind = self._select_preprocess(X, y)
+        self.preprocess_ = kind
+        X = self._pad_features(self._fit_preprocess(X, kind))
 
-        from .icl import ICLConfig
+        n_max = self._cfg.max_context
+        if self.context_size is not None:
+            n_max = min(n_max, int(self.context_size))
+        if len(X) > n_max:
+            # target-coverage subsampling: evenly spaced ranks of y, so the
+            # kept context spans the whole target range (a uniform draw can
+            # starve the tails the bar distribution must calibrate against)
+            order = np.argsort(y, kind="stable")
+            sel = order[np.linspace(0, len(X) - 1, n_max).round().astype(int)]
+            rng = np.random.default_rng(self.seed)
+            rng.shuffle(sel)
+            X, y = X[sel], y[sel]
+        # normalize targets by the KEPT context stats — exactly the
+        # statistics the meta-training loss used (mask-aware context mean)
+        self._y_mean = float(y.mean())
+        self._y_std = float(max(y.std(), 1e-9))
+        z = ((y - self._y_mean) / self._y_std).astype(np.float32)
 
-        max_k = (self.cfg or ICLConfig()).max_classes
-        k = min(self.n_buckets, max_k, max(2, len(np.unique(z))))
-        # quantile bucket edges; strictly increasing
-        edges = np.unique(np.quantile(z, np.linspace(0, 1, k + 1)[1:-1]))
-        buckets = np.digitize(z, edges)
-        # per-bucket conditional means are the decode values
-        self._bucket_values = np.array([
-            z[buckets == b].mean() if (buckets == b).any() else 0.0
-            for b in range(len(edges) + 1)])
-
-        self._clf = ICLClassifier(
-            params=self.params, cfg=self.cfg,
-            pretrain_steps=self.pretrain_steps, seed=self.seed,
-            softmax_temperature=self.softmax_temperature,
-            context_size=self.context_size, preprocess=self.preprocess)
-        self._clf.fit(np.asarray(X, np.float32), buckets)
+        pad = self.context_bucket(len(X), self._cfg.max_context) - len(X)
+        self._fitted = {
+            "x_ctx": np.pad(X, ((0, pad), (0, 0)))[None],
+            "y_ctx": np.pad(z, (0, pad))[None],
+            "ctx_mask": np.pad(np.ones(len(X), np.float32), (0, pad))[None],
+        }
         return self
 
-    def predict(self, X):
-        proba = self._clf.predict_proba(X)  # columns follow clf.classes_
-        vals = self._bucket_values[np.asarray(self._clf.classes_, int)]
-        z_hat = proba @ vals
-        return z_hat * self._std + self._mean
+    def _bar_probs(self, X):
+        import jax.numpy as jnp
+
+        if getattr(self, "_fitted", None) is None:
+            raise RuntimeError("fit() first")
+        params = self._ensure_params()
+        Xq = self._pad_features(self._apply_preprocess(X))[None]
+        logits, q_emb, _ = self._forward(
+            params, jnp.asarray(self._fitted["x_ctx"]),
+            jnp.asarray(self._fitted["y_ctx"]),
+            jnp.asarray(self._fitted["ctx_mask"]), jnp.asarray(Xq))
+        logits = np.asarray(logits[0], np.float64)
+        logits = logits / max(float(self.softmax_temperature), 1e-6)
+        e = np.exp(logits - logits.max(1, keepdims=True))
+        return e / e.sum(1, keepdims=True), np.asarray(q_emb[0])
+
+    def predict(self, X, output_type: str = "mean", quantiles=None):
+        """Decode the bar distribution. `output_type`: 'mean' (default),
+        'median', or 'quantiles' (returns a list of arrays, one per
+        requested quantile — TabPFNRegressor surface, reference
+        utils.py:302-440)."""
+        from .icl_regression import bin_centers
+
+        probs, _ = self._bar_probs(X)
+        centers = bin_centers(self._cfg).astype(np.float64)
+        if output_type == "mean":
+            z_hat = probs @ centers
+            return z_hat * self._y_std + self._y_mean
+        if output_type == "median":
+            return self._quantiles_from_bars(probs, [0.5])[0]
+        if output_type == "quantiles":
+            qs = [0.1, 0.25, 0.5, 0.75, 0.9] if quantiles is None else list(
+                quantiles)
+            return self._quantiles_from_bars(probs, qs)
+        raise ValueError(f"unknown output_type={output_type!r}")
+
+    def _quantiles_from_bars(self, probs, qs):
+        cfg = self._cfg
+        edges = np.linspace(-cfg.y_clip, cfg.y_clip, cfg.n_bins + 1)
+        cdf = np.cumsum(probs, axis=1)
+        out = []
+        for q in qs:
+            # first bar where the CDF crosses q; linear interp inside it
+            i = np.argmax(cdf >= q, axis=1)
+            prev = np.where(i > 0, np.take_along_axis(
+                cdf, np.maximum(i - 1, 0)[:, None], 1)[:, 0], 0.0)
+            mass = np.take_along_axis(probs, i[:, None], 1)[:, 0]
+            frac = np.clip((q - prev) / np.maximum(mass, 1e-12), 0.0, 1.0)
+            z = edges[i] + frac * (edges[i + 1] - edges[i])
+            out.append(z * self._y_std + self._y_mean)
+        return out
 
     def get_embeddings(self, X, data_source: str = "test"):
-        return self._clf.get_embeddings(X, data_source)
+        """(1, n, d_model) — TabPFN v2 get_embeddings shape contract."""
+        _, emb = self._bar_probs(X)
+        return emb[None]
 
 
 class DecisionTreeICLRegressor(RegressorMixin, BaseEstimator):
@@ -174,7 +321,6 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
         best_score, best_trial = np.inf, None
         for _ in range(self.n_trials):
             trial = {
-                "n_buckets": int(rng.choice([4, 8, 16])),
                 "softmax_temperature": float(rng.choice([0.75, 1.0, 1.25])),
                 "seed": int(rng.integers(0, 10_000)),
                 "preprocess": [None, None, "quantile", "whiten"][
@@ -199,8 +345,7 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
             est.set_params(**{k: v for k, v in trial.items()
                               if k in est.get_params()})
             return est
-        return ICLRegressor(n_buckets=trial["n_buckets"],
-                            softmax_temperature=trial["softmax_temperature"],
+        return ICLRegressor(softmax_temperature=trial["softmax_temperature"],
                             seed=trial["seed"],
                             preprocess=trial.get("preprocess"))
 

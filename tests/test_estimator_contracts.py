@@ -33,6 +33,18 @@ def tiny_params():
     return params
 
 
+@pytest.fixture(scope="module")
+def tiny_reg_net():
+    from multimodal_ad_tpu.tabular.icl_regression import (
+        RegICLConfig, pretrain_icl_regression)
+
+    cfg = RegICLConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64,
+                       max_features=12, max_context=64, n_bins=16)
+    params, _ = pretrain_icl_regression(cfg, steps=300, batch=16, n_ctx=48,
+                                        n_qry=16, lr=1e-3, seed=0, chunk=100)
+    return params, cfg
+
+
 def classifier_instances(tiny_params):
     icl = ICLClassifier(params=tiny_params, cfg=TINY)
     return [
@@ -49,8 +61,9 @@ def classifier_instances(tiny_params):
     ]
 
 
-def regressor_instances(tiny_params):
-    icl = ICLRegressor(params=tiny_params, cfg=TINY, n_buckets=4)
+def regressor_instances(tiny_reg_net):
+    params, cfg = tiny_reg_net
+    icl = ICLRegressor(params=params, cfg=cfg)
     return [
         ("ICLRegressor", icl),
         ("DTICLRegressor", DecisionTreeICLRegressor()),
@@ -101,9 +114,9 @@ class TestClassifierContracts:
 
 @pytest.mark.slow
 class TestRegressorContracts:
-    def test_all(self, tiny_params):
+    def test_all(self, tiny_reg_net):
         X, y = reg_data()
-        for name, est in regressor_instances(tiny_params):
+        for name, est in regressor_instances(tiny_reg_net):
             est = clone(est)
             est.fit(X[:60], y[:60])
             pred = est.predict(X[60:])
@@ -114,7 +127,7 @@ class TestRegressorContracts:
             base = np.mean((y[:60].mean() - y[60:]) ** 2)
             assert mse < base, (name, mse, base)
 
-    def test_predict_before_fit_raises(self, tiny_params):
-        for name, est in regressor_instances(tiny_params):
+    def test_predict_before_fit_raises(self, tiny_reg_net):
+        for name, est in regressor_instances(tiny_reg_net):
             with pytest.raises(Exception):
                 clone(est).predict(np.zeros((2, 6), np.float32))

@@ -24,12 +24,13 @@ def linear_task(n=200, f=4, noise=0.1, seed=0):
 
 @pytest.fixture(scope="module")
 def tiny_reg():
-    from multimodal_ad_tpu.tabular.icl import ICLConfig, pretrain_icl
+    from multimodal_ad_tpu.tabular.icl_regression import (
+        RegICLConfig, pretrain_icl_regression)
 
-    cfg = ICLConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64,
-                    max_features=16, max_classes=8, max_context=128)
-    params, _ = pretrain_icl(cfg, steps=300, batch=16, n_ctx=64, n_qry=16,
-                             lr=1e-3, seed=1)
+    cfg = RegICLConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64,
+                       max_features=16, max_context=128, n_bins=16)
+    params, _ = pretrain_icl_regression(cfg, steps=400, batch=16, n_ctx=64,
+                                        n_qry=16, lr=1e-3, seed=1, chunk=100)
     return params, cfg
 
 
@@ -38,7 +39,7 @@ class TestICLRegressor:
     def test_beats_mean_baseline(self, tiny_reg):
         params, cfg = tiny_reg
         X, y = linear_task(n=180, seed=2)
-        reg = ICLRegressor(params=params, cfg=cfg, n_buckets=8)
+        reg = ICLRegressor(params=params, cfg=cfg)
         reg.fit(X[:120], y[:120])
         pred = reg.predict(X[120:])
         mse = np.mean((pred - y[120:]) ** 2)
@@ -48,10 +49,24 @@ class TestICLRegressor:
     def test_target_scale_invariance(self, tiny_reg):
         params, cfg = tiny_reg
         X, y = linear_task(n=120, seed=3)
-        r1 = ICLRegressor(params=params, cfg=cfg).fit(X, y)
-        r2 = ICLRegressor(params=params, cfg=cfg).fit(X, y * 100 + 7)
+        r1 = ICLRegressor(params=params, cfg=cfg, preprocess=None).fit(X, y)
+        r2 = ICLRegressor(params=params, cfg=cfg,
+                          preprocess=None).fit(X, y * 100 + 7)
         np.testing.assert_allclose(r2.predict(X[:10]),
                                    r1.predict(X[:10]) * 100 + 7, rtol=1e-4)
+
+    def test_quantile_decoding_monotone(self, tiny_reg):
+        """Bar-CDF quantile decoding: q10 <= median <= q90, and the median
+        output_type matches quantiles=[0.5]."""
+        params, cfg = tiny_reg
+        X, y = linear_task(n=150, seed=8)
+        reg = ICLRegressor(params=params, cfg=cfg,
+                           preprocess=None).fit(X[:100], y[:100])
+        q10, q50, q90 = reg.predict(X[100:], output_type="quantiles",
+                                    quantiles=[0.1, 0.5, 0.9])
+        med = reg.predict(X[100:], output_type="median")
+        assert (q10 <= q50 + 1e-9).all() and (q50 <= q90 + 1e-9).all()
+        np.testing.assert_allclose(med, q50)
 
     def test_embeddings_shape(self, tiny_reg):
         params, cfg = tiny_reg

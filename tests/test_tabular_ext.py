@@ -283,6 +283,25 @@ class TestICLWrappers:
         acc = (clf.predict(X[100:]) == y[100:]).mean()
         assert acc > 0.8
 
+    def test_seed_ensemble_members_and_averaging(self, tiny):
+        """SeedEnsembleICL (the HPO space's N_ensemble dimension): members
+        differ in context seed, probabilities are the mean, and accuracy
+        holds on a separable task."""
+        from multimodal_ad_tpu.tabular.hpo import SeedEnsembleICL
+
+        X, y = clusters(n=150, f=6, sep=2.5, seed=6)
+        ens = SeedEnsembleICL(tiny, n_members=3)
+        ens.fit(X[:100], y[:100])
+        assert len(ens.members_) == 3
+        seeds = {m.seed for m in ens.members_}
+        assert len(seeds) == 3
+        proba = ens.predict_proba(X[100:])
+        np.testing.assert_allclose(proba.sum(1), 1.0, rtol=1e-5)
+        manual = np.mean([m.predict_proba(X[100:]) for m in ens.members_],
+                         axis=0)
+        np.testing.assert_allclose(proba, manual)
+        assert (ens.predict(X[100:]) == y[100:]).mean() > 0.8
+
     def test_auto_ensemble(self, tiny):
         X, y = clusters(n=150, f=6, sep=2.5, seed=4)
         clf = AutoICLClassifier(base_estimator=tiny, n_configs=3)
