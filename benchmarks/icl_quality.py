@@ -302,8 +302,8 @@ def main():
     reg_order = ["ICLReg", "TunedICLReg", "Ridge", "GradBoostReg"]
     lines += [
         "",
-        "## Regression R² (mean over seeds; ICLRegressor = bucket decoding "
-        "over the same meta-trained network)",
+        "## Regression R² (mean over seeds; ICLRegressor = the dedicated "
+        "bar-distribution network, tabular/icl_regression.py)",
         "",
         "| family | " + " | ".join(reg_order) + " |",
         "|---|" + "---|" * len(reg_order),

@@ -89,13 +89,20 @@ class AutoICLClassifier(ClassifierMixin, BaseEstimator):
     def _configs(self, rng, n_train):
         from .hpo import default_search_space
 
-        return [default_search_space(rng, n_train) for _ in range(self.n_configs)]
+        # the UNMODIFIED base estimator (with its own fit-time automatic
+        # preprocessing selection) is always candidate #0 — random config
+        # draws can miss the one transform a family needs, and the greedy
+        # ensemble must never end up strictly worse than plain ICL
+        return [None] + [default_search_space(rng, n_train)
+                         for _ in range(self.n_configs)]
 
     def _make(self, trial):
         from .icl import ICLClassifier
 
         est = (clone(self.base_estimator) if self.base_estimator is not None
                else ICLClassifier())
+        if trial is None:
+            return est
         est.set_params(softmax_temperature=trial["softmax_temperature"],
                        context_size=trial["context_size"], seed=trial["seed"],
                        preprocess=trial["preprocess"])

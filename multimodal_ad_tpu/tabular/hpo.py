@@ -86,11 +86,13 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
         self.random_state = random_state
         self.verbose = verbose
 
-    def _make(self, trial: dict):
+    def _make(self, trial: dict | None):
         from .icl import ICLClassifier
 
         est = (clone(self.base_estimator) if self.base_estimator is not None
                else ICLClassifier())
+        if trial is None:  # the unmodified base config (auto preprocess)
+            return est
         est.set_params(softmax_temperature=trial["softmax_temperature"],
                        context_size=trial["context_size"], seed=trial["seed"],
                        preprocess=trial["preprocess"])
@@ -109,8 +111,11 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
         kf = StratifiedKFold(n_splits=self.n_splits, shuffle=True,
                              random_state=self.random_state)
 
-        for t in range(self.n_trials):
-            trial = default_search_space(rng, len(X))
+        # trial None = the unmodified base config (with fit-time automatic
+        # preprocessing): tuning must never end up worse than plain ICL
+        trials = [None] + [default_search_space(rng, len(X))
+                           for _ in range(self.n_trials)]
+        for t, trial in enumerate(trials):
             scores = []
             for tr, vl in kf.split(X, y):
                 est = self._make(trial).fit(X[tr], y[tr])

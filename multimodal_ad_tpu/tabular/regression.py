@@ -319,13 +319,14 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
         kf = KFold(n_splits=self.n_splits, shuffle=True,
                    random_state=self.random_state)
         best_score, best_trial = np.inf, None
-        for _ in range(self.n_trials):
-            trial = {
-                "softmax_temperature": float(rng.choice([0.75, 1.0, 1.25])),
-                "seed": int(rng.integers(0, 10_000)),
-                "preprocess": [None, None, "quantile", "whiten"][
-                    int(rng.integers(0, 4))],
-            }
+        # trial None = the unmodified base config; tuning never loses to it
+        trials = [None] + [{
+            "softmax_temperature": float(rng.choice([0.75, 1.0, 1.25])),
+            "seed": int(rng.integers(0, 10_000)),
+            "preprocess": [None, None, "quantile", "whiten"][
+                int(rng.integers(0, 4))],
+        } for _ in range(self.n_trials)]
+        for trial in trials:
             scores = []
             for tr, vl in kf.split(X):
                 est = self._make(trial).fit(X[tr], y[tr])
@@ -342,9 +343,12 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
     def _make(self, trial):
         if self.base_estimator is not None:
             est = clone(self.base_estimator)
-            est.set_params(**{k: v for k, v in trial.items()
-                              if k in est.get_params()})
+            if trial is not None:
+                est.set_params(**{k: v for k, v in trial.items()
+                                  if k in est.get_params()})
             return est
+        if trial is None:  # the unmodified base config (auto preprocess)
+            return ICLRegressor()
         return ICLRegressor(softmax_temperature=trial["softmax_temperature"],
                             seed=trial["seed"],
                             preprocess=trial.get("preprocess"))

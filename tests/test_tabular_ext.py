@@ -279,7 +279,10 @@ class TestICLWrappers:
         X, y = clusters(n=150, f=6, sep=2.5, seed=3)
         clf = TunedICLClassifier(base_estimator=tiny, n_trials=4, n_splits=2)
         clf.fit(X[:100], y[:100])
-        assert clf.best_params_ is not None
+        # best_params_ may be None — the unmodified base config is always
+        # trial #0 so tuning never loses to plain ICL
+        assert np.isfinite(clf.best_score_)
+        assert hasattr(clf, "best_estimator_")
         acc = (clf.predict(X[100:]) == y[100:]).mean()
         assert acc > 0.8
 
