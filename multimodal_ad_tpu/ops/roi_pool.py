@@ -60,9 +60,12 @@ def _round_up(x, m):
 
 
 def _roi_pool_kernel(labels_ref, feats_ref, out_ref):
-    """Grid (N//TILE_N,): build the one-hot tile ONCE per spatial tile
-    (VPU compare), then reuse it for every batch sample's MXU contraction —
-    the one-hot never round-trips through HBM."""
+    """Grid (N//TILE_N,): build the one-hot tile in VMEM (VPU compare; it
+    never round-trips through HBM), then ONE fat MXU contraction
+    (R, T) x (T, B*C) per tile — batch and channel fold into a single
+    >=128-wide lane dimension, so the MXU is not starved the way a
+    per-batch (R, 64) output tile starves it. The (R_pad, B*C) accumulator
+    lives in VMEM across all grid steps."""
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -70,16 +73,14 @@ def _roi_pool_kernel(labels_ref, feats_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     labels = labels_ref[:]  # (TILE_N, 1) int32
-    r_pad = out_ref.shape[1]
+    r_pad = out_ref.shape[0]
     roi_ids = jax.lax.broadcasted_iota(jnp.int32, (labels.shape[0], r_pad), 1)
-    onehot = (labels == roi_ids + 1).astype(feats_ref.dtype)
-    b = feats_ref.shape[0]
-    for i in range(b):  # static unroll over batch
-        out_ref[i] += jax.lax.dot_general(
-            onehot, feats_ref[i],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    onehot = (labels == roi_ids + 1).astype(feats_ref.dtype)  # (T, R_pad)
+    out_ref[:] += jax.lax.dot_general(
+        onehot, feats_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 try:  # Pallas is TPU/importable-optional
@@ -97,7 +98,11 @@ def roi_pool_pallas(feats, labels, num_rois: int, tile_n: int = 2048,
     r_pad = _round_up(num_rois, 128)
     n_pad = _round_up(n, tile_n)
 
-    feats = jnp.pad(feats, ((0, 0), (0, n_pad - n), (0, 0)))
+    # (N, B*C) layout: one XLA transpose pass outside the kernel buys a
+    # single fat contraction inside it (lane dim b*c >= 128 even for the
+    # U-Net's 64 channels at b >= 2)
+    feats_t = jnp.pad(feats, ((0, 0), (0, n_pad - n), (0, 0)))
+    feats_t = feats_t.transpose(1, 0, 2).reshape(n_pad, b * c)
     labels_col = jnp.pad(labels, (0, n_pad - n)).reshape(n_pad, 1)
 
     grid = (n_pad // tile_n,)
@@ -107,15 +112,16 @@ def roi_pool_pallas(feats, labels, num_rois: int, tile_n: int = 2048,
         in_specs=[
             pl.BlockSpec((tile_n, 1), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, tile_n, c), lambda j: (0, j, 0),
+            pl.BlockSpec((tile_n, b * c), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, r_pad, c), lambda j: (0, 0, 0),
+        out_specs=pl.BlockSpec((r_pad, b * c), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, r_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, b * c), jnp.float32),
         interpret=interpret,
-    )(labels_col, feats)
+    )(labels_col, feats_t)
 
+    sums = sums.reshape(r_pad, b, c).transpose(1, 0, 2)
     counts = roi_counts(labels, num_rois)
     return sums[:, :num_rois, :] / jnp.clip(counts, 1e-6)[None, :, None]
 
@@ -123,13 +129,16 @@ def roi_pool_pallas(feats, labels, num_rois: int, tile_n: int = 2048,
 def roi_pool(feats, labels, num_rois: int, use_pallas: bool = False):
     """Dispatcher.
 
-    Defaults to the XLA formulation: measured on v5e (B=4, 91x109x91, C=64,
-    R=166) it runs 9.1 ms vs 31 ms for the Pallas kernel — XLA's fused
-    one-hot contraction already saturates the op (it is HBM-stream-bound on
-    feats, and the compiler's pipelining beats the hand-written schedule).
-    The Pallas path is kept for layouts where materializing the (N, R)
-    one-hot in HBM would not fuse (very large R) and as the kernel-authoring
-    reference.
+    Defaults to the XLA formulation. Measured on v5e
+    (benchmarks/ROI_POOL.md, round 3): XLA wins at BOTH operating points —
+    26 ms vs 37-41 ms at the production 2-mm shape (B=4, 91x109x91, C=64,
+    R=166) and 34-37 ms vs 115-127 ms at the 1-mm-atlas shape (B=1,
+    182x218x182, C=64, R=600). XLA never materializes the (N, R) one-hot:
+    the compare fuses into the contraction loop, and the op is
+    HBM-stream-bound on `feats`, where the compiler's pipelining beats
+    this hand-written schedule even after the round-3 rework (single fat
+    (R,T)x(T,B*C) MXU contraction per tile). The Pallas path is kept as
+    the measured counter-example and kernel-authoring reference.
     """
     if use_pallas and HAS_PALLAS:
         return roi_pool_pallas(feats, labels, num_rois)
