@@ -96,3 +96,44 @@ class TestDeviceNormalize:
         vols = jnp.ones((1, 4, 4, 4, 1))
         assert np.isfinite(np.asarray(dev_scale(vols))).all()
         assert np.isfinite(np.asarray(dev_adaptive(vols))).all()
+
+
+class TestFusedGatherNormalize:
+    """Pallas fused gather+normalize (ops/fused_gather.py): interpret-mode
+    parity against both the XLA twin and the production scale_intensity."""
+
+    def test_parity_and_padding(self, rng):
+        from multimodal_ad_tpu.ops.fused_gather import (
+            flatten_corpus, gather_normalize_pallas, gather_normalize_xla)
+        from multimodal_ad_tpu.ops.normalize import scale_intensity
+
+        vols = rng.integers(-50, 4096, (5, 9, 11, 10, 1)).astype(np.int16)
+        corpus, vox = flatten_corpus(vols)
+        assert corpus.shape[2] == 128 and corpus.shape[1] * 128 >= vox
+        idx = np.array([3, 0, 4, 4], np.int32)
+        a = np.asarray(gather_normalize_xla(jnp.asarray(corpus), idx, vox))
+        p = np.asarray(gather_normalize_pallas(jnp.asarray(corpus), idx, vox,
+                                               interpret=True))
+        np.testing.assert_allclose(a, p, atol=1e-6)
+        # padding tail repeats the (scaled) first voxel — an in-volume
+        # value, so min/max needed no mask; consumers read [:vox]
+        np.testing.assert_allclose(
+            p.reshape(4, -1)[:, vox:],
+            np.broadcast_to(p.reshape(4, -1)[:, :1],
+                            (4, p.reshape(4, -1).shape[1] - vox)),
+            atol=1e-6)
+        # matches the production normalizer on the unflattened batch
+        ref = np.asarray(scale_intensity(jnp.asarray(vols[idx])))
+        np.testing.assert_allclose(p.reshape(4, -1)[:, :vox],
+                                   ref.reshape(4, -1), atol=1e-6)
+
+    def test_constant_volume_is_zeroed(self):
+        from multimodal_ad_tpu.ops.fused_gather import (
+            flatten_corpus, gather_normalize_pallas)
+
+        vols = np.full((2, 4, 4, 4, 1), 7, np.int16)
+        corpus, vox = flatten_corpus(vols)
+        p = np.asarray(gather_normalize_pallas(
+            jnp.asarray(corpus), np.array([1], np.int32), vox,
+            interpret=True))
+        assert (p == 0).all()  # scale_intensity maps constant volumes to 0
