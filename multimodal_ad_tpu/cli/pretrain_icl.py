@@ -48,6 +48,11 @@ def main(argv=None):
                    help="meta-train the bar-distribution REGRESSION network "
                         "(icl_regression.py) instead of the classifier; "
                         "task sampling is always on-device in this mode")
+    p.add_argument("--mix", default=None,
+                   help="comma-separated 5 family weights (cluster,"
+                        "correlated,pairwise,periodic,mlp) overriding the "
+                        "prior's default mixture — for biased adaptation "
+                        "phases (classifier only)")
     p.add_argument("--save-dtype", default="float32",
                    choices=["float32", "float16"],
                    help="weight dtype in the saved msgpack (float16 halves "
@@ -112,12 +117,14 @@ def main(argv=None):
                 lambda a: a.astype("float32"), init_params)
             print(f"warm start from {args.resume_from}")
 
+        mix = (None if args.mix is None
+               else tuple(float(w) for w in args.mix.split(",")))
         params, _ = pretrain_icl(cfg, steps=args.steps, batch=args.batch,
                                  n_ctx=args.n_ctx, n_qry=args.n_qry,
                                  lr=args.lr, seed=args.seed, verbose=True,
                                  init_params=init_params,
                                  device_prior=args.device_prior,
-                                 chunk=args.chunk)
+                                 chunk=args.chunk, mix=mix)
     if args.save_dtype == "float16":
         import jax
         import numpy as np

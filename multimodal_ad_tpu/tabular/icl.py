@@ -134,8 +134,25 @@ def _rand_cut_labels(rng: np.random.Generator, score, c: int):
     return np.digitize(score, np.quantile(score, u))
 
 
+#: default family mixture weights (cluster, correlated-latent,
+#: pairwise-interaction, periodic, shallow-MLP); cumulative thresholds
+#: 0.22/0.40/0.62/0.74 — shared by the host sampler and the device prior.
+DEFAULT_FAMILY_MIX = (0.22, 0.18, 0.22, 0.12, 0.26)
+
+
+def _mix_thresholds(mix):
+    """Normalize 5 family weights to the 4 cumulative cut points used by
+    the samplers' `kind` draw."""
+    w = np.asarray(mix, np.float64)
+    if w.shape != (5,) or (w < 0).any() or w.sum() <= 0:
+        raise ValueError("mix must be 5 non-negative family weights")
+    cum = np.cumsum(w / w.sum())
+    return tuple(float(t) for t in cum[:4])
+
+
 def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
-                 n_ctx: int, n_qry: int, var_ctx: bool = True):
+                 n_ctx: int, n_qry: int, var_ctx: bool = True,
+                 mix=None):
     """Random-function prior: gaussian/mixed/correlated features ->
     random score (cluster, latent-linear, pairwise-interaction, periodic,
     or shallow MLP) -> quantile-bucketed labels (+ label noise).
@@ -145,8 +162,13 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
     out). Inference-time contexts range anywhere up to
     ``ICLConfig.max_context``, so the network must be meta-trained across
     context sizes — a fixed fully-valid n_ctx leaves every other context
-    size (and masked-key attention itself) out of distribution."""
+    size (and masked-key attention itself) out of distribution.
+
+    ``mix`` overrides the five family weights (``DEFAULT_FAMILY_MIX``) —
+    used by biased adaptation phases of the meta-training curriculum."""
     F, C = cfg.max_features, cfg.max_classes
+    t1, t2, t3, t4 = _mix_thresholds(DEFAULT_FAMILY_MIX if mix is None
+                                     else mix)
     n = n_ctx + n_qry
     x = np.zeros((batch, n, F), np.float32)
     y = np.zeros((batch, n), np.int64)
@@ -157,7 +179,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
         # label embedding gets meta-trained
         c = 2 if (C > 2 and rng.random() < 0.5) else int(rng.integers(2, C + 1))
         kind = rng.random()
-        if kind < 0.22:
+        if kind < t1:
             # cluster prior: class-conditional gaussians with random
             # separation (covers the "shifted means" regime of clinical
             # tables); a few columns quantize to integer codes — the
@@ -175,7 +197,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
             for jcol in rng.choice(f, n_cat, replace=False):
                 xs[:, jcol] = np.digitize(xs[:, jcol],
                                           [-0.5, 0.5]).astype(np.float32)
-        elif kind < 0.40:
+        elif kind < t2:
             # correlated-latent prior: observed features are linear mixes of
             # fewer latent factors plus small independent noise — the
             # near-duplicate-columns regime clinical tables hit constantly.
@@ -198,7 +220,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
                 w = evecs @ (rng.normal(size=f) / np.sqrt(evals))
                 score = (xs - xs.mean(0)) @ w.astype(np.float32)
             lab = _rand_cut_labels(rng, score, c)
-        elif kind < 0.62:
+        elif kind < t3:
             # pairwise-interaction prior: score dominated by products of
             # feature pairs (XOR-like boundaries that no linear readout of
             # single features can express). 40% of tasks use SIGN products
@@ -216,7 +238,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
                     term = np.sign(term)
                 score = score + rng.normal() * term
             lab = _rand_cut_labels(rng, score, c)
-        elif kind < 0.74:
+        elif kind < t4:
             # periodic prior: sinusoidal functions of single features —
             # oscillating decision surfaces (and the smooth nonlinear
             # regression regime) that neither clusters nor one MLP layer
@@ -276,7 +298,7 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
                  batch: int = 32, n_ctx: int = 96, n_qry: int = 32,
                  lr: float = 3e-4, seed: int = 0, verbose: bool = False,
                  init_params=None, device_prior: bool = False,
-                 chunk: int = 100):
+                 chunk: int = 100, mix=None):
     """Meta-train the prior-fitted network on synthetic tasks; returns
     (params, cfg).
 
@@ -292,7 +314,12 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
     per-step host traffic, which on the hosted-TPU tunnel is the difference
     between link-bound (~1 step/s) and compute-bound (hundreds/s)
     meta-training. The host path streams a fresh NumPy-sampled task per
-    step (fine on a local CPU)."""
+    step (fine on a local CPU).
+
+    ``mix`` overrides the prior's family weights (``DEFAULT_FAMILY_MIX``)
+    for biased curriculum phases (e.g. a pairwise-interaction-heavy
+    adaptation pass)."""
+    mix_t = None if mix is None else tuple(float(w) for w in mix)
     model = ICLTransformer(cfg)
     rng = np.random.default_rng(seed)
     t0 = sample_tasks(rng, batch, cfg, n_ctx, n_qry)
@@ -324,7 +351,8 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
             def body(carry, _):
                 params, opt_state, key = carry
                 key, tk = jax.random.split(key)
-                task = sample_tasks_device(tk, batch, cfg, n_ctx, n_qry)
+                task = sample_tasks_device(tk, batch, cfg, n_ctx, n_qry,
+                                           True, mix_t)
                 loss, grads = jax.value_and_grad(loss_fn)(params, task)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 return (optax.apply_updates(params, updates), opt_state,
@@ -357,7 +385,8 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
 
     for i in range(steps):
         task = {k: jnp.asarray(v) for k, v in
-                sample_tasks(rng, batch, cfg, n_ctx, n_qry).items()}
+                sample_tasks(rng, batch, cfg, n_ctx, n_qry,
+                             mix=mix_t).items()}
         params, opt_state, loss = step(params, opt_state, task)
         if verbose and (i + 1) % max(1, steps // 10) == 0:
             print(f"[icl pretrain] step {i + 1}/{steps} loss {float(loss):.4f}")

@@ -51,9 +51,10 @@ def _bucket(key, score, c, C):
     return (score[:, None] >= qs[None, :]).sum(1).astype(jnp.int32)
 
 
-def _one_task(key, n, F, C):
+def _one_task(key, n, F, C, thresholds=(0.22, 0.40, 0.62, 0.74)):
     """One (x (n,F) float32, y (n,) int32) draw from the prior; mirrors the
-    five families of icl.sample_tasks."""
+    five families of icl.sample_tasks. ``thresholds`` are the cumulative
+    family-mixture cut points (see icl._mix_thresholds)."""
     ks = jax.random.split(key, 24)
     f = jax.random.randint(ks[0], (), 3, max(4, F // 2) + 1)
     # class count skewed toward binary (mirrors the host sampler)
@@ -161,8 +162,9 @@ def _one_task(key, n, F, C):
     score_m = (h1 @ jax.random.normal(mk[4], (8,))
                + 0.3 * xs_m @ jax.random.normal(mk[5], (F,)))
 
-    idx = ((kind >= 0.22).astype(jnp.int32) + (kind >= 0.40)
-           + (kind >= 0.62) + (kind >= 0.74))
+    t1, t2, t3, t4 = thresholds
+    idx = ((kind >= t1).astype(jnp.int32) + (kind >= t2)
+           + (kind >= t3) + (kind >= t4))
     xs = jnp.stack([xs_cl, xs_co, xs_pw, xs_pe, xs_m])[idx]
     bk = jax.random.split(jax.random.fold_in(key, 29), 4)
     lab = jnp.stack([lab_cl, _bucket(bk[0], score_co, c, C),
@@ -282,15 +284,20 @@ def sample_reg_tasks_device(key, batch: int, cfg, n_ctx: int, n_qry: int,
             "x_qry": x[:, n_ctx:], "y_qry": y[:, n_ctx:]}
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def sample_tasks_device(key, batch: int, cfg: ICLConfig, n_ctx: int,
-                        n_qry: int, var_ctx: bool = True):
+                        n_qry: int, var_ctx: bool = True,
+                        mix: tuple | None = None):
     """Jit-compatible twin of icl.sample_tasks: returns the same dict of
-    (B, ...) task tensors, generated on-device."""
+    (B, ...) task tensors, generated on-device. ``mix`` overrides the five
+    family weights (icl.DEFAULT_FAMILY_MIX) for biased curriculum phases."""
+    from .icl import DEFAULT_FAMILY_MIX, _mix_thresholds
+
+    thresholds = _mix_thresholds(DEFAULT_FAMILY_MIX if mix is None else mix)
     n = n_ctx + n_qry
     kt, kv = jax.random.split(key)
     x, y = jax.vmap(lambda k: _one_task(k, n, cfg.max_features,
-                                        cfg.max_classes))(
+                                        cfg.max_classes, thresholds))(
         jax.random.split(kt, batch))
     ctx_mask = jnp.ones((batch, n_ctx), jnp.float32)
     if var_ctx and n_ctx > 16:

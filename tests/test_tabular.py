@@ -161,6 +161,39 @@ class TestDevicePrior:
                 minlength=4)
             assert counts.argmax() == 0 and counts[1] > 0, (name, counts)
 
+    def test_family_mix_override(self):
+        """`mix` biases the family mixture for curriculum phases: the
+        default-mix draw is IDENTICAL to mix=None (exact threshold parity),
+        a degenerate mix compiles and samples, and bad weights raise."""
+        import jax
+
+        from multimodal_ad_tpu.tabular.icl import (DEFAULT_FAMILY_MIX,
+                                                   _mix_thresholds)
+        from multimodal_ad_tpu.tabular.icl_prior import sample_tasks_device
+
+        assert _mix_thresholds(DEFAULT_FAMILY_MIX) == (0.22, 0.4, 0.62, 0.74)
+        with pytest.raises(ValueError):
+            _mix_thresholds((1.0, 0.0, 0.0))  # wrong arity
+        with pytest.raises(ValueError):
+            _mix_thresholds((1.0, -0.1, 0.0, 0.0, 0.0))  # negative
+
+        key = jax.random.PRNGKey(5)
+        t_none = sample_tasks_device(key, 8, TINY, 32, 4)
+        t_deft = sample_tasks_device(key, 8, TINY, 32, 4, True,
+                                     DEFAULT_FAMILY_MIX)
+        for k in t_none:
+            np.testing.assert_array_equal(np.asarray(t_none[k]),
+                                          np.asarray(t_deft[k]))
+        # pairwise-only mix: still well-formed tasks
+        t_pw = sample_tasks_device(key, 8, TINY, 32, 4, True,
+                                   (0.0, 0.0, 1.0, 0.0, 0.0))
+        x = np.asarray(t_pw["x_ctx"])
+        assert np.isfinite(x).all() and (np.abs(x) > 0).any()
+        # host sampler honors the same override
+        th = sample_tasks(np.random.default_rng(0), 4, TINY, 32, 4,
+                          mix=(0.0, 0.0, 1.0, 0.0, 0.0))
+        assert np.isfinite(th["x_ctx"]).all()
+
     def test_reg_prior_shapes_and_masking(self):
         """Continuous-target twin (sample_reg_tasks_device) keeps the same
         static-shape/masking invariants; targets are float and finite."""
