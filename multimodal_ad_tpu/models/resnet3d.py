@@ -32,7 +32,9 @@ from __future__ import annotations
 from functools import partial
 from typing import Any
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 DEPTH_BLOCKS = {
@@ -106,6 +108,84 @@ class ConvBN(nn.Module):
             param_dtype=self.param_dtype,
         )(x)
         return x
+
+
+def _stem_s2d_index_map():
+    """Static tap map for the space-to-depth stem: entry [td,th,tw,phase]
+    is the flat index into the 7^3 kernel (or -1 where the phase has no
+    tap). Derivation: output o of the 7^3/s2/pad-3 stem reads
+    x[2o + k - 3]; writing the input index as 2m + p (block m, phase p),
+    k = 2t + p - 1 for tap t = m - o + 2 in [0, 4)."""
+    idx = np.full((4, 4, 4, 8), -1, np.int64)
+    for td in range(4):
+        for th in range(4):
+            for tw in range(4):
+                for pd in range(2):
+                    for ph in range(2):
+                        for pw in range(2):
+                            kd, kh, kw = (2 * td + pd - 1, 2 * th + ph - 1,
+                                          2 * tw + pw - 1)
+                            if all(0 <= k <= 6 for k in (kd, kh, kw)):
+                                idx[td, th, tw, (pd * 2 + ph) * 2 + pw] = (
+                                    kd * 7 + kh) * 7 + kw
+    return idx
+
+
+_STEM_S2D_IDX = _stem_s2d_index_map()
+
+
+class StemConv(nn.Module):
+    """7^3 stride-2 stem conv, computed via space-to-depth.
+
+    The naive stem is MXU-starved: C_in=1 pads to the 8-lane minimum and
+    the contraction dim is only 343, so it runs at a few % of peak
+    (measured 3.6% fwd / 1.7% f+b in isolation — benchmarks/stem_s2d.py).
+    Space-to-depth packs the 2^3 input phases onto the channel axis and
+    runs a DENSE 4^3 stride-1 conv over the half-resolution grid
+    (lane-aligned 8*C_in contraction), the classic TPU ResNet conv0
+    optimization. The parameter stays the reference-shaped (7,7,7,C,64)
+    kernel — rearranged each call by a static gather (343*64 elements,
+    negligible) — so checkpoints and MedicalNet torch-weight ingestion
+    (utils/torch_weights.py) are unaffected.
+    """
+
+    features: int = 64
+    s2d: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out",
+                                             "truncated_normal"),
+            (7, 7, 7, c_in, self.features), self.param_dtype)
+        k = kernel.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        if not self.s2d:
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2, 2), ((3, 3),) * 3, dimension_numbers=dn)
+        # weights: (7,7,7,C,F) -> (4,4,4,8*C,F), phase-major channels
+        idx = jnp.asarray(_STEM_S2D_IDX.reshape(-1))
+        w_flat = k.reshape(343, c_in, self.features)
+        w2 = jnp.where((idx >= 0)[:, None, None],
+                       jnp.take(w_flat, jnp.maximum(idx, 0), axis=0), 0)
+        w2 = w2.reshape(4, 4, 4, 8 * c_in, self.features)
+        # input: (B,D,H,W,C) -> (B,ceil(D/2),...,8C), x2[m, p] = x[2m+p]
+        b, D, H, W, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (0, D % 2), (0, H % 2), (0, W % 2),
+                         (0, 0)))
+        Dp, Hp, Wp = xp.shape[1:4]
+        xs = xp.reshape(b, Dp // 2, 2, Hp // 2, 2, Wp // 2, 2, c_in)
+        xs = xs.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        xs = xs.reshape(b, Dp // 2, Hp // 2, Wp // 2, 8 * c_in)
+        dn2 = jax.lax.conv_dimension_numbers(
+            xs.shape, w2.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            xs, w2, (1, 1, 1), ((2, 1),) * 3, dimension_numbers=dn2)
 
 
 class ShortcutA(nn.Module):
@@ -215,6 +295,7 @@ class ResNet3D(nn.Module):
     dropout_rate: float = 0.5
     num_seg_classes: int = 1
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
+    s2d_stem: bool = True  # space-to-depth stem conv (see StemConv)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -238,11 +319,10 @@ class ResNet3D(nn.Module):
         x = x.astype(self.dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
-        # stem: 7^3/s2 conv -> BN -> relu -> 3^3/s2 maxpool
-        x = nn.Conv(64, kernel_size=(7,) * 3, strides=(2,) * 3,
-                    padding=((3, 3),) * 3, use_bias=False,
-                    kernel_init=nn.initializers.variance_scaling(
-                        2.0, "fan_out", "truncated_normal"), **kw)(x)
+        # stem: 7^3/s2 conv -> BN -> relu -> 3^3/s2 maxpool. Named
+        # "Conv_0" so the param tree path matches the original nn.Conv
+        # stem (checkpoint/ingestion compatibility).
+        x = StemConv(64, s2d=self.s2d_stem, name="Conv_0", **kw)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
         x = nn.relu(x)
         x = max_pool_3d(x, 3, 2, 1)

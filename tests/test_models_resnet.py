@@ -129,3 +129,41 @@ class TestResNet3D:
         taps = inter["intermediates"]["stage_out"]
         assert len(taps) == 4  # one per stage
         assert taps[0].shape[-1] == 64 and taps[3].shape[-1] == 512
+
+
+class TestStemS2D:
+    """Space-to-depth stem (StemConv): numerically identical to the native
+    7^3/s2 conv on the SAME (7,7,7,C,64) parameter, for odd spatial shapes
+    and multi-channel inputs, and the param tree path is unchanged."""
+
+    @pytest.mark.parametrize("shape,cin", [((19, 22, 21), 1), ((20, 24, 20), 1),
+                                           ((19, 22, 21), 2)])
+    def test_native_parity_same_params(self, shape, cin):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, *shape, cin),
+                              jnp.float32)
+        m_ref = ResNet3D(depth=10, in_channels=cin, s2d_stem=False,
+                         dtype=jnp.float32)
+        m_s2d = ResNet3D(depth=10, in_channels=cin, s2d_stem=True,
+                         dtype=jnp.float32)
+        v = m_ref.init(jax.random.PRNGKey(1), x, False)
+        ya = np.asarray(m_ref.apply(v, x, False))
+        yb = np.asarray(m_s2d.apply(v, x, False))
+        np.testing.assert_allclose(ya, yb, atol=1e-4, rtol=1e-4)
+        # same checkpoint-facing parameter layout
+        assert v["params"]["Conv_0"]["kernel"].shape == (7, 7, 7, cin, 64)
+
+    def test_s2d_stem_gradients_flow(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), SMALL, jnp.float32)
+        model = ResNet3D(depth=10, s2d_stem=True, dtype=jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(1),
+                        "dropout": jax.random.PRNGKey(2)}, x, False)
+
+        def loss(params):
+            out = model.apply({**v, "params": params}, x, train=True,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.PRNGKey(3)})[0]
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        g = jax.grad(loss)(v["params"])
+        gk = np.asarray(g["Conv_0"]["kernel"])
+        assert np.isfinite(gk).all() and np.abs(gk).max() > 0
