@@ -11,8 +11,9 @@ competitive).
 Search space (ICLClassifier inference knobs):
 - softmax_temperature, context_size, context subsample seed,
 - feature preprocessing: none (z-score is built in), quantile rank-gauss,
-  or ZCA whitening (the reference's TabPFN HPO likewise searches a
-  preprocessing-transform dimension, hpo/search_space.py:18-244),
+  ZCA whitening, or quadratic 'pairs' expansion (the reference's TabPFN
+  HPO likewise searches a preprocessing-transform dimension,
+  hpo/search_space.py:18-244),
 - seed-ensemble size (+ optionally preprocess-diverse members) — the
   N_ensemble_configurations dimension of the reference's space
   (hpo/search_space.py:18-244).
@@ -44,7 +45,8 @@ class SeedEnsembleICL(ClassifierMixin, BaseEstimator):
 
         base = (self.base_estimator if self.base_estimator is not None
                 else ICLClassifier())
-        cycle = ([None, "whiten", "quantile"] if self.diverse_preprocess
+        cycle = ([None, "whiten", "quantile", "pairs"]
+                 if self.diverse_preprocess
                  else [base.get_params().get("preprocess", None)])
         self.members_ = []
         for i in range(self.n_members):
@@ -68,8 +70,8 @@ def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
         "context_size": int(rng.choice(
             [s for s in (64, 128, 256, 512) if s <= max(64, n_train)])),
         "seed": int(rng.integers(0, 10_000)),
-        "preprocess": [None, None, "quantile", "whiten"][
-            int(rng.integers(0, 4))],
+        "preprocess": [None, None, "quantile", "whiten", "pairs"][
+            int(rng.integers(0, 5))],
         "n_ensemble": int(rng.choice([1, 1, 2, 4])),
         "diverse_preprocess": bool(rng.random() < 0.3),
     }

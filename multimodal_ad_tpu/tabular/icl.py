@@ -487,9 +487,10 @@ class FeaturePreprocessMixin:
                 f"{type(self._cfg).__name__}.max_features")
         return np.pad(X, ((0, 0), (0, F - X.shape[1])))
 
-    def _fit_preprocess(self, X, kind="__self__"):
+    def _fit_preprocess(self, X, kind="__self__", y=None):
         """Fit the optional feature transform on the raw training matrix
-        and return the transformed matrix (before padding)."""
+        and return the transformed matrix (before padding). ``y`` is used
+        only by the supervised 'pairs' interaction screen."""
         if kind == "__self__":
             kind = self.preprocess
         X = np.nan_to_num(np.asarray(X, np.float32),
@@ -528,7 +529,77 @@ class FeaturePreprocessMixin:
             values = [np.unique(X[:, j]) for j in cats]
             self._pre = ("onehot", cats, values)
             return self._onehot_expand(X, cats, values)
+        if kind == "pairs":
+            # screened quadratic interactions: candidate products (and
+            # squares) of SCALE-only standardized features (no centering —
+            # it would shift sign(x_i*x_j) boundaries), rank-correlated
+            # against the label with Bonferroni-controlled selection, and
+            # the few survivors appended RANK-GAUSSED (a raw gaussian
+            # product is heavy-tailed; the context z-score would compress
+            # its sign structure into a spike at 0). Multiplicative
+            # interactions — the sign-product/XOR regime where a row-token
+            # network must approximate multiplication inside its MLP —
+            # become directly readable gaussian columns. Mirrors the
+            # polynomial-interaction dimension of TabPFN's preprocessing
+            # search (reference hpo/search_space.py:18-244). Appending the
+            # FULL unscreened expansion was measured strictly worse than
+            # identity (the one informative product drowns among f(f+1)/2
+            # heavy-tailed noise columns).
+            if y is None:
+                raise ValueError("preprocess='pairs' needs y at fit time")
+            sd = (X.std(0) + 1e-6).astype(np.float32)
+            k = min(8, self._cfg.max_features - X.shape[1])
+            sel_i, sel_j, refs = self._pairs_screen(X / sd, y, k)
+            self._pre = ("pairs", sd, sel_i, sel_j, refs)
+            return self._pairs_apply(X, sd, sel_i, sel_j, refs)
         raise ValueError(f"unknown preprocess={kind!r}")
+
+    @staticmethod
+    def _pairs_screen(Z, y, k):
+        """Select up to ``k`` product columns Z_i*Z_j (i<=j) whose rank
+        correlation with the target clears a Bonferroni-corrected noise
+        floor; returns (i_idx, j_idx, sorted-train-product refs)."""
+        from scipy.stats import norm
+
+        n, f = Z.shape
+        if k <= 0 or f < 2 or n < 16:
+            return np.empty(0, np.int64), np.empty(0, np.int64), []
+        iu, ju = np.triu_indices(f)
+        prods = Z[:, iu] * Z[:, ju]
+        # rank-transform candidates: the correlation statistic must not be
+        # dominated by a product's heavy tails
+        r = np.argsort(np.argsort(prods, axis=0), axis=0) / (n - 1) - 0.5
+        y = np.asarray(y)
+        if y.dtype.kind == "f" and len(np.unique(y)) > max(16, n // 8):
+            targets = [(np.argsort(np.argsort(y)) / (n - 1) - 0.5)]
+        else:  # class labels: one-vs-rest indicators
+            targets = [(y == c).astype(np.float64) for c in np.unique(y)]
+        corr = np.zeros(prods.shape[1])
+        for t in targets:
+            t = t - t.mean()
+            denom = np.sqrt((r ** 2).sum(0) * (t ** 2).sum()) + 1e-12
+            corr = np.maximum(corr, np.abs(r.T @ t) / denom)
+        # FWER <= 1% over all candidates: a wide table proposes thousands
+        # of products and an uncorrected floor would admit ~0.1% of them
+        floor = norm.ppf(1 - 0.01 / len(corr)) / np.sqrt(n)
+        sel = np.argsort(-corr)[:k]
+        sel = sel[corr[sel] > floor]
+        refs = [np.sort(prods[:, j]) for j in sel]
+        return iu[sel], ju[sel], refs
+
+    @staticmethod
+    def _pairs_apply(X, sd, sel_i, sel_j, refs):
+        from scipy.stats import norm
+
+        if len(refs) == 0:
+            return X
+        Z = X / sd
+        cols = [X]
+        for i, j, ref in zip(sel_i, sel_j, refs):
+            pos = np.searchsorted(ref, Z[:, i] * Z[:, j], side="left") + 0.5
+            cols.append(norm.ppf(np.clip(pos / (len(ref) + 1), 1e-4,
+                                         1 - 1e-4)).astype(np.float32)[:, None])
+        return np.concatenate(cols, axis=1)
 
     @staticmethod
     def _onehot_expand(X, cats, values):
@@ -548,6 +619,8 @@ class FeaturePreprocessMixin:
             return (X - pre[1]) @ pre[2]
         if pre[0] == "onehot":
             return self._onehot_expand(X, pre[1], pre[2])
+        if pre[0] == "pairs":
+            return self._pairs_apply(X, pre[1], pre[2], pre[3], pre[4])
         return pre[1].transform(X).astype(np.float32)
 
     @staticmethod
@@ -583,7 +656,13 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
       residuals of near-duplicate features (e.g. a difference of two 99%-
       correlated clinical measurements),
     - 'quantile': rank-gauss per-feature transform (robust to heavy tails
-      and monotone distortions).
+      and monotone distortions),
+    - 'pairs': screened quadratic interactions — rank-correlation-selected
+      products/squares of scaled features appended as rank-gauss columns,
+      making multiplicative interactions (XOR/sign-product boundaries)
+      directly readable,
+    - 'onehot': indicator expansion of low-cardinality integer columns;
+      auto-considered only when such columns are present.
 
     The resolved choice lands in `preprocess_` after fit.
 
@@ -660,6 +739,8 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
 
         if infer_categorical_features(X):
             kinds.append("onehot")  # only meaningful with categorical cols
+        if 2 <= X.shape[1] < self._cfg.max_features:
+            kinds.append("pairs")  # room for >=1 screened interaction
         scores = {}
         for kind in kinds:
             sub = ICLClassifier(
@@ -693,7 +774,7 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         if kind == "auto":
             kind = self._select_preprocess(X, y)
         self.preprocess_ = kind
-        X = self._pad_features(self._fit_preprocess(X, kind))
+        X = self._pad_features(self._fit_preprocess(X, kind, y=y))
         self.classes_, y_idx = np.unique(y, return_inverse=True)
         if len(self.classes_) > self._cfg.max_classes:
             raise ValueError(

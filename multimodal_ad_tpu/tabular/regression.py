@@ -104,8 +104,11 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         var = float(np.var(y[vl]))
         if var < 1e-12:
             return None
+        kinds = [None, "whiten", "quantile"]
+        if 2 <= X.shape[1] < self._cfg.max_features:
+            kinds.append("pairs")  # room for >=1 screened interaction
         scores = {}
-        for kind in (None, "whiten", "quantile"):
+        for kind in kinds:
             sub = ICLRegressor(
                 params=self.params, cfg=self.cfg,
                 pretrain_steps=self.pretrain_steps, seed=self.seed,
@@ -123,7 +126,7 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         # a real R² margin (same rationale as the classifier's selector)
         base = scores.get(None, -np.inf)
         best_kind, best_r2 = None, base
-        for kind in ("whiten", "quantile"):
+        for kind in kinds[1:]:
             if scores.get(kind, -np.inf) > max(base + 0.02, best_r2):
                 best_kind, best_r2 = kind, scores[kind]
         return best_kind
@@ -136,7 +139,7 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         if kind == "auto":
             kind = self._select_preprocess(X, y)
         self.preprocess_ = kind
-        X = self._pad_features(self._fit_preprocess(X, kind))
+        X = self._pad_features(self._fit_preprocess(X, kind, y=y))
 
         n_max = self._cfg.max_context
         if self.context_size is not None:

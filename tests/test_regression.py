@@ -68,6 +68,24 @@ class TestICLRegressor:
         assert (q10 <= q50 + 1e-9).all() and (q50 <= q90 + 1e-9).all()
         np.testing.assert_allclose(med, q50)
 
+    def test_pairs_preprocess_reads_product_target(self, tiny_reg):
+        """preprocess='pairs' screens a continuous target against product
+        candidates (rank-rank correlation): y = x0*x1 becomes a directly
+        readable column, which plain z-scored features cannot express."""
+        params, cfg = tiny_reg
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(220, 5)).astype(np.float32)
+        y = X[:, 0] * X[:, 1] + 0.05 * rng.normal(size=220)
+        tr, te = np.arange(160), np.arange(160, 220)
+        mse = {}
+        for kind in (None, "pairs"):
+            reg = ICLRegressor(params=params, cfg=cfg,
+                               preprocess=kind).fit(X[tr], y[tr])
+            mse[kind] = float(np.mean((reg.predict(X[te]) - y[te]) ** 2))
+        base = float(np.mean((y[tr].mean() - y[te]) ** 2))
+        assert mse["pairs"] < 0.5 * base, (mse, base)
+        assert mse["pairs"] < mse[None], mse
+
     def test_embeddings_shape(self, tiny_reg):
         params, cfg = tiny_reg
         X, y = linear_task(n=60, seed=4)

@@ -381,6 +381,53 @@ class TestICLClassifier:
         assert qo.shape == (1, 5)
         np.testing.assert_array_equal(qo[0, 2:], [0, 0, 0])
 
+    def test_pairs_screen_selects_product_interaction(self, tiny_params):
+        """The supervised 'pairs' screen finds the one informative product
+        (x0*x1 for an XOR label) among all f(f+1)/2 candidates, appends it
+        rank-gaussed, and applies the SAME mapping to queries."""
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(200, 6)).astype(np.float32)
+        y = ((X[:, 0] > 0) ^ (X[:, 1] > 0)).astype(int)
+        clf = ICLClassifier(params=tiny_params, cfg=TINY, preprocess="pairs")
+        Xp = clf._fit_preprocess(X, y=y)
+        assert Xp.shape == (200, 7)  # exactly one survivor
+        _, sd, si, sj, _ = clf._pre
+        assert {int(si[0]), int(sj[0])} == {0, 1}
+        # appended column is rank-gaussed: near-standard-normal moments
+        assert abs(Xp[:, 6].mean()) < 0.1 and 0.8 < Xp[:, 6].std() < 1.2
+        # its SIGN region encodes the label (negative product <=> XOR=1)
+        assert ((Xp[:, 6] < np.median(Xp[:, 6])) == y).mean() > 0.95
+        qp = clf._apply_preprocess(X[:7])
+        np.testing.assert_allclose(qp, Xp[:7], atol=1e-5)
+
+    def test_pairs_screen_keeps_nothing_without_signal(self, tiny_params):
+        """Bonferroni-floored screening: with a label independent of every
+        product, no candidate survives and the transform is identity."""
+        rng = np.random.default_rng(6)
+        X = rng.normal(size=(120, 8)).astype(np.float32)
+        y = rng.integers(0, 2, 120)
+        clf = ICLClassifier(params=tiny_params, cfg=TINY, preprocess="pairs")
+        Xp = clf._fit_preprocess(X, y=y)
+        assert Xp.shape == X.shape
+        np.testing.assert_array_equal(clf._apply_preprocess(X), X)
+
+    @pytest.mark.slow
+    def test_pairs_lifts_xor_accuracy(self):
+        """End to end with the BUNDLED asset: preprocess='pairs' makes the
+        XOR family (benchmarks/icl_quality.py family_nonlinear) directly
+        readable — the plain z-scored fit of the same network measured
+        ~0.88 on this family, the screened-product fit ~0.97."""
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(240, 6)).astype(np.float32)
+        y = ((X[:, 0] > 0) ^ (X[:, 1] > 0)).astype(int)
+        tr, te = np.arange(160), np.arange(160, 240)
+        accs = {}
+        for kind in (None, "pairs"):
+            clf = ICLClassifier(preprocess=kind).fit(X[tr], y[tr])
+            accs[kind] = float((clf.predict(X[te]) == y[te]).mean())
+        assert accs["pairs"] >= 0.9, accs
+        assert accs["pairs"] >= accs[None], accs
+
     def test_quantile_preprocess_clone_roundtrip(self, tiny_params):
         """preprocess rides get_params/set_params so sklearn clone (and the
         HPO/ensemble wrappers that rely on it) preserve it."""
