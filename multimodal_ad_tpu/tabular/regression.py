@@ -37,7 +37,8 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
     def __init__(self, params=None, cfg=None, pretrain_steps: int = 300,
                  seed: int = 0, softmax_temperature: float = 1.0,
                  context_size: int | None = None,
-                 preprocess: str | None = "auto"):
+                 preprocess: str | None = "auto",
+                 n_estimators: int = 8):
         self.params = params
         self.cfg = cfg
         self.pretrain_steps = pretrain_steps
@@ -45,6 +46,10 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         self.softmax_temperature = softmax_temperature
         self.context_size = context_size
         self.preprocess = preprocess
+        # default 8 = the reference TabPFNRegressor default (reference
+        # utils.py:150); views permute feature columns only — the target
+        # side embeds a continuous value, nothing to permute there
+        self.n_estimators = n_estimators
 
     @property
     def _cfg(self):
@@ -105,8 +110,8 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         if var < 1e-12:
             return None
         kinds = [None, "whiten", "quantile"]
-        if 2 <= X.shape[1] < self._cfg.max_features:
-            kinds.append("pairs")  # room for >=1 screened interaction
+        if X.shape[1] >= 2 and X.shape[1] + 2 <= self._cfg.max_features:
+            kinds.append("pairs")  # room for >=1 screened interaction (2 cols)
         scores = {}
         for kind in kinds:
             sub = ICLRegressor(
@@ -139,7 +144,9 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         if kind == "auto":
             kind = self._select_preprocess(X, y)
         self.preprocess_ = kind
-        X = self._pad_features(self._fit_preprocess(X, kind, y=y))
+        Xp = self._fit_preprocess(X, kind, y=y)
+        f_real = Xp.shape[1]  # width before padding: views permute only this
+        X = self._pad_features(Xp)
 
         n_max = self._cfg.max_context
         if self.context_size is not None:
@@ -165,23 +172,46 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
             "y_ctx": np.pad(z, (0, pad))[None],
             "ctx_mask": np.pad(np.ones(len(X), np.float32), (0, pad))[None],
         }
+        # feature-permutation views (identity first), same mechanism as
+        # ICLClassifier: the network is not permutation-equivariant, so the
+        # views are diverse predictors and the bar-distribution mixture
+        # cancels column-position-specific noise
+        V = max(1, int(self.n_estimators))
+        rng = np.random.default_rng((self.seed, 101))
+        fp = [np.arange(self._cfg.max_features)]
+        for _ in range(V - 1):
+            p = np.arange(self._cfg.max_features)
+            p[:f_real] = rng.permutation(f_real)
+            fp.append(p)
+        self._views = np.stack(fp)
         return self
 
     def _bar_probs(self, X):
+        """Mixture of per-view bar distributions ((M, n_bins), averaged
+        over views) + identity-view embeddings, in one batched forward."""
         import jax.numpy as jnp
 
         if getattr(self, "_fitted", None) is None:
             raise RuntimeError("fit() first")
         params = self._ensure_params()
-        Xq = self._pad_features(self._apply_preprocess(X))[None]
+        fp = self._views
+        V = len(fp)
+        Xq = self._pad_features(self._apply_preprocess(X))
+        x_ctx = self._fitted["x_ctx"][0]
+        mask = np.broadcast_to(self._fitted["ctx_mask"][0],
+                               (V, x_ctx.shape[0]))
+        y_ctx = np.broadcast_to(self._fitted["y_ctx"][0],
+                                (V, x_ctx.shape[0]))
         logits, q_emb, _ = self._forward(
-            params, jnp.asarray(self._fitted["x_ctx"]),
-            jnp.asarray(self._fitted["y_ctx"]),
-            jnp.asarray(self._fitted["ctx_mask"]), jnp.asarray(Xq))
-        logits = np.asarray(logits[0], np.float64)
+            params, jnp.asarray(np.stack([x_ctx[:, p] for p in fp])),
+            jnp.asarray(np.ascontiguousarray(y_ctx)),
+            jnp.asarray(np.ascontiguousarray(mask)),
+            jnp.asarray(np.stack([Xq[:, p] for p in fp])))
+        logits = np.asarray(logits, np.float64)  # (V, M, n_bins)
         logits = logits / max(float(self.softmax_temperature), 1e-6)
-        e = np.exp(logits - logits.max(1, keepdims=True))
-        return e / e.sum(1, keepdims=True), np.asarray(q_emb[0])
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = (e / e.sum(-1, keepdims=True)).mean(0)
+        return probs, np.asarray(q_emb[0])
 
     def predict(self, X, output_type: str = "mean", quantiles=None):
         """Decode the bar distribution. `output_type`: 'mean' (default),
@@ -326,8 +356,8 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
         trials = [None] + [{
             "softmax_temperature": float(rng.choice([0.75, 1.0, 1.25])),
             "seed": int(rng.integers(0, 10_000)),
-            "preprocess": [None, None, "quantile", "whiten"][
-                int(rng.integers(0, 4))],
+            "preprocess": [None, None, "quantile", "whiten", "pairs"][
+                int(rng.integers(0, 5))],
         } for _ in range(self.n_trials)]
         for trial in trials:
             scores = []

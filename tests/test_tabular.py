@@ -257,6 +257,43 @@ class TestICLClassifier:
         emb = clf.get_embeddings(X[:7])
         assert emb.shape == (1, 7, TINY.d_model)
 
+    def test_view_ensemble_averages_permuted_views(self, tiny_params):
+        """n_estimators>1 averages softmax over feature/class-permuted
+        dataset views (the reference TabPFNClassifier's default ensembling,
+        reference utils.py:94). View 0 is the identity, so V=1 reproduces
+        the single-view path exactly, and the canonical class order must
+        survive the per-view class permutation round-trip."""
+        X, y = separable_data(seed=9)
+        y = np.where(y == 1, 4, 2)  # non-contiguous labels
+        one = ICLClassifier(params=tiny_params, cfg=TINY, preprocess=None,
+                            n_estimators=1).fit(X[:60], y[:60])
+        ens = ICLClassifier(params=tiny_params, cfg=TINY, preprocess=None,
+                            n_estimators=4).fit(X[:60], y[:60])
+        l1, _ = one._run(X[60:])
+        l4, _ = ens._run(X[60:])
+        assert l1.shape == (1, 20, 2) and l4.shape == (4, 20, 2)
+        # identity view of the ensemble == the single-view logits
+        np.testing.assert_allclose(l4[0], l1[0], atol=1e-4)
+        # un-permutation is correct: every view solves the (easily
+        # separable) task on its own — a wrong class gather would invert
+        # labels on ~half the views
+        for v in range(4):
+            acc = (np.asarray([2, 4])[l4[v].argmax(1)] == y[60:]).mean()
+            assert acc >= 0.9, (v, acc)
+        p = ens.predict_proba(X[60:])
+        np.testing.assert_allclose(p.sum(1), 1.0, rtol=1e-5)
+        assert (ens.predict(X[60:]) == y[60:]).mean() >= 0.9
+
+    def test_view_ensemble_deterministic(self, tiny_params):
+        """Views are drawn from the estimator seed: refitting gives
+        identical probabilities (sklearn determinism contract)."""
+        X, y = separable_data(seed=10)
+        p1 = ICLClassifier(params=tiny_params, cfg=TINY, preprocess=None,
+                           ).fit(X[:60], y[:60]).predict_proba(X[60:])
+        p2 = ICLClassifier(params=tiny_params, cfg=TINY, preprocess=None,
+                           ).fit(X[:60], y[:60]).predict_proba(X[60:])
+        np.testing.assert_allclose(p1, p2, atol=1e-6)
+
     def test_stratified_context_keeps_minority_class(self, tiny_params):
         """On a 95/5 imbalanced table with a small context budget, uniform
         subsampling can drop the minority class entirely; the stratified
@@ -384,19 +421,21 @@ class TestICLClassifier:
     def test_pairs_screen_selects_product_interaction(self, tiny_params):
         """The supervised 'pairs' screen finds the one informative product
         (x0*x1 for an XOR label) among all f(f+1)/2 candidates, appends it
-        rank-gaussed, and applies the SAME mapping to queries."""
+        rank-gaussed + as a sign indicator, and applies the SAME mapping to
+        queries."""
         rng = np.random.default_rng(5)
         X = rng.normal(size=(200, 6)).astype(np.float32)
         y = ((X[:, 0] > 0) ^ (X[:, 1] > 0)).astype(int)
         clf = ICLClassifier(params=tiny_params, cfg=TINY, preprocess="pairs")
         Xp = clf._fit_preprocess(X, y=y)
-        assert Xp.shape == (200, 7)  # exactly one survivor
+        assert Xp.shape == (200, 8)  # one survivor = 2 appended columns
         _, sd, si, sj, _ = clf._pre
         assert {int(si[0]), int(sj[0])} == {0, 1}
-        # appended column is rank-gaussed: near-standard-normal moments
+        # rank-gauss column: near-standard-normal moments
         assert abs(Xp[:, 6].mean()) < 0.1 and 0.8 < Xp[:, 6].std() < 1.2
-        # its SIGN region encodes the label (negative product <=> XOR=1)
-        assert ((Xp[:, 6] < np.median(Xp[:, 6])) == y).mean() > 0.95
+        # sign column IS the quadrant indicator (negative product <=> XOR=1)
+        assert set(np.unique(Xp[:, 7])) <= {-1.0, 0.0, 1.0}
+        assert ((Xp[:, 7] < 0) == y).mean() > 0.99
         qp = clf._apply_preprocess(X[:7])
         np.testing.assert_allclose(qp, Xp[:7], atol=1e-5)
 
@@ -416,7 +455,7 @@ class TestICLClassifier:
         """End to end with the BUNDLED asset: preprocess='pairs' makes the
         XOR family (benchmarks/icl_quality.py family_nonlinear) directly
         readable — the plain z-scored fit of the same network measured
-        ~0.88 on this family, the screened-product fit ~0.97."""
+        ~0.88 on this family, the screened-product+sign fit 1.00."""
         rng = np.random.default_rng(7)
         X = rng.normal(size=(240, 6)).astype(np.float32)
         y = ((X[:, 0] > 0) ^ (X[:, 1] > 0)).astype(int)
