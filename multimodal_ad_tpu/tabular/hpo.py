@@ -74,6 +74,9 @@ def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
             int(rng.integers(0, 5))],
         "n_ensemble": int(rng.choice([1, 1, 2, 4])),
         "diverse_preprocess": bool(rng.random() < 0.3),
+        # permuted-view count inside each member (the reference searches
+        # its ensemble-configurations dimension the same way)
+        "n_estimators": int(rng.choice([1, 2, 4, 8])),
     }
 
 
@@ -97,7 +100,10 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
             return est
         est.set_params(softmax_temperature=trial["softmax_temperature"],
                        context_size=trial["context_size"], seed=trial["seed"],
-                       preprocess=trial["preprocess"])
+                       preprocess=trial["preprocess"],
+                       **({"n_estimators": trial["n_estimators"]}
+                          if "n_estimators" in trial
+                          and "n_estimators" in est.get_params() else {}))
         if trial.get("n_ensemble", 1) > 1:
             return SeedEnsembleICL(
                 est, n_members=trial["n_ensemble"],

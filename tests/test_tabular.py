@@ -131,6 +131,7 @@ class TestDevicePrior:
             assert (t["x_ctx"][b, nv:] == 0).all()
             assert (t["y_ctx"][b, nv:] == 0).all()
 
+    @pytest.mark.slow  # each distinct sampler shape is a fresh ~40s compile
     def test_full_context_opt_out(self):
         """var_ctx=False (the host sampler's full-context mode) must work
         under jit (regression: non-static bool arg raised
@@ -161,6 +162,7 @@ class TestDevicePrior:
                 minlength=4)
             assert counts.argmax() == 0 and counts[1] > 0, (name, counts)
 
+    @pytest.mark.slow  # compiles three sampler variants (~90s on 1 CPU)
     def test_family_mix_override(self):
         """`mix` biases the family mixture for curriculum phases: the
         default-mix draw is IDENTICAL to mix=None (exact threshold parity),
@@ -194,6 +196,7 @@ class TestDevicePrior:
                           mix=(0.0, 0.0, 1.0, 0.0, 0.0))
         assert np.isfinite(th["x_ctx"]).all()
 
+    @pytest.mark.slow  # separate regression-sampler compile (~16s on 1 CPU)
     def test_reg_prior_shapes_and_masking(self):
         """Continuous-target twin (sample_reg_tasks_device) keeps the same
         static-shape/masking invariants; targets are float and finite."""
