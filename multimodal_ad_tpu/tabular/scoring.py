@@ -59,3 +59,50 @@ def score_regression(metric: str, y_true, y_pred) -> float:
     if metric in ("r2",):
         return float(skm.r2_score(y_true, y_pred))
     raise ValueError(f"unknown regression metric {metric}")
+
+
+def concordance_index(event_times, predicted_scores, event_observed=None
+                      ) -> float:
+    """Harrell's c-index, from scratch (lifelines is not in the image).
+
+    Fraction of admissible pairs whose predicted scores order the same way
+    as the event times, with prediction ties counting 0.5 — the statistic
+    `lifelines.utils.concordance_index` computes for the reference's
+    survival scorer (scoring_utils.py:255-259). Higher predicted score ↔
+    longer survival. Admissible pairs under right-censoring: the
+    earlier time must be an observed event (a censored subject is only
+    known to survive PAST its time, so it is unordered against anything
+    later); equal-time pairs are admissible only between an event and a
+    censored subject (the event is known to precede the censored one's
+    unobserved event)."""
+    t = np.asarray(event_times, np.float64)
+    p = np.asarray(predicted_scores, np.float64)
+    e = (np.ones(len(t), bool) if event_observed is None
+         else np.asarray(event_observed).astype(bool))
+    if len(t) != len(p) or len(t) != len(e):
+        raise ValueError("event_times/predicted_scores/event_observed "
+                         "lengths differ")
+    num = den = 0.0
+    for i in range(len(t)):
+        if not e[i]:
+            continue
+        # subjects strictly later than an observed event at t[i], plus
+        # censored subjects tied at t[i]
+        later = (t > t[i]) | ((t == t[i]) & ~e)
+        later[i] = False
+        den += later.sum()
+        num += (p[i] < p[later]).sum() + 0.5 * (p[i] == p[later]).sum()
+        # event-event ties at the same time are inadmissible (no order is
+        # known), matching the lifelines default
+    return float(num / den) if den else float("nan")
+
+
+def score_survival(optimize_metric: str, y_true, y_pred,
+                   event_observed=None) -> float:
+    """Survival scorer (reference scoring_utils.py:227-259 surface):
+    c-index between true event times and predicted scores under
+    right-censoring; `event_observed` 1 = event, 0 = censored."""
+    if optimize_metric in ("cindex", "c_index", "risk_score",
+                           "risk_score_capped"):
+        return concordance_index(y_true, y_pred, event_observed)
+    raise ValueError(f"unknown survival metric {optimize_metric}")

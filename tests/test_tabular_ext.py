@@ -50,6 +50,39 @@ class TestScoring:
         with pytest.raises(ValueError):
             score_classification("nope", y, p)
 
+    def test_concordance_index_hand_computed(self):
+        """Harrell c-index transcription (reference scoring_utils.py:227-259
+        rides lifelines.utils.concordance_index; hand-computed cases here
+        since lifelines is not in the image)."""
+        from multimodal_ad_tpu.tabular.scoring import (concordance_index,
+                                                       score_survival)
+
+        # no censoring: perfectly concordant / anticoncordant / tied
+        assert concordance_index([1, 2, 3], [1, 2, 3]) == 1.0
+        assert concordance_index([1, 2, 3], [3, 2, 1]) == 0.0
+        assert concordance_index([1, 2, 3], [5, 5, 5]) == 0.5
+        # censoring: the pair (censored@2, event@4) is inadmissible — a
+        # censored subject is unordered against later times
+        assert np.isnan(concordance_index([2, 4], [1, 2], [0, 1]))
+        # (event@2, censored@4) IS admissible; concordant iff the event
+        # gets the lower predicted score
+        assert concordance_index([2, 4], [1, 2], [1, 0]) == 1.0
+        assert concordance_index([2, 4], [2, 1], [1, 0]) == 0.0
+        # equal-time event-vs-censored pair: event precedes
+        assert concordance_index([3, 3], [1, 2], [1, 0]) == 1.0
+        # equal-time event-event pair: inadmissible (order unknown)
+        assert np.isnan(concordance_index([3, 3], [1, 2], [1, 1]))
+        # mixed 4-subject example, worked by hand: events at 1,3; censored
+        # at 2,4. Admissible: (1,2) (1,3) (1,4) (3,4) — predictions
+        # [0.5, 2, 1, 3] order all but (1,3)-(3,?)... check: pairs from
+        # event@1 vs all later: concordant 3/3; event@3 vs censored@4:
+        # 1 < 3 concordant -> 4/4
+        assert concordance_index([1, 3, 2, 4], [0.5, 1, 2, 3],
+                                 [1, 1, 0, 0]) == 1.0
+        assert score_survival("cindex", [1, 2, 3], [1, 2, 3]) == 1.0
+        with pytest.raises(ValueError):
+            score_survival("nope", [1], [1])
+
 
 class TestGreedyEnsemble:
     def test_prefers_good_model(self):
