@@ -54,25 +54,21 @@ def conv_stem(x, w):
 
 def s2d_weights(w):
     """(7,7,7,C,64) -> (4,4,4,8*C,64); phase-major on the channel axis:
-    channel index = ((pd*2 + ph)*2 + pw)*C + c, matching s2d_input."""
+    channel index = ((pd*2 + ph)*2 + pw)*C + c, matching s2d_input.
+
+    Built from the SAME static tap map the production StemConv uses
+    (models/resnet3d.py::_stem_s2d_index_map), so this benchmark always
+    measures the packing the shipped model runs — a phase-order change
+    there cannot silently diverge from the numbers appended here."""
+    from multimodal_ad_tpu.models.resnet3d import _STEM_S2D_IDX
+
     k7, _, _, c_in, c_out = w.shape
     assert k7 == 7
-    w2 = jnp.zeros((4, 4, 4, 8 * c_in, c_out), w.dtype)
-    for td in range(4):
-        for th in range(4):
-            for tw in range(4):
-                for pd in range(2):
-                    for ph in range(2):
-                        for pw in range(2):
-                            kd, kh, kw = 2 * td + pd - 1, 2 * th + ph - 1, \
-                                2 * tw + pw - 1
-                            if not all(0 <= k <= 6 for k in (kd, kh, kw)):
-                                continue
-                            phase = (pd * 2 + ph) * 2 + pw
-                            w2 = w2.at[td, th, tw,
-                                       phase * c_in:(phase + 1) * c_in].set(
-                                w[kd, kh, kw])
-    return w2
+    idx = jnp.asarray(_STEM_S2D_IDX.reshape(-1))
+    w_flat = w.reshape(343, c_in, c_out)
+    w2 = jnp.where((idx >= 0)[:, None, None],
+                   jnp.take(w_flat, jnp.maximum(idx, 0), axis=0), 0)
+    return w2.reshape(4, 4, 4, 8 * c_in, c_out)
 
 
 def s2d_input(x):

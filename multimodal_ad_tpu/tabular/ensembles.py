@@ -16,7 +16,7 @@ sklearn_interface.py:26-376) and sklearn_ensembles/meta_models.py:21-383:
 from __future__ import annotations
 
 import numpy as np
-from sklearn.base import BaseEstimator, ClassifierMixin, clone
+from sklearn.base import BaseEstimator, ClassifierMixin
 from sklearn.ensemble import StackingClassifier, VotingClassifier
 from sklearn.model_selection import train_test_split
 
@@ -97,16 +97,12 @@ class AutoICLClassifier(ClassifierMixin, BaseEstimator):
                          for _ in range(self.n_configs)]
 
     def _make(self, trial):
-        from .icl import ICLClassifier
+        from .hpo import make_from_trial
 
-        est = (clone(self.base_estimator) if self.base_estimator is not None
-               else ICLClassifier())
-        if trial is None:
-            return est
-        est.set_params(softmax_temperature=trial["softmax_temperature"],
-                       context_size=trial["context_size"], seed=trial["seed"],
-                       preprocess=trial["preprocess"])
-        return est
+        # shared trial builder: every sampled dimension (incl. n_ensemble
+        # members and n_estimators views) is applied, so trials_ always
+        # describes the estimator that was actually scored
+        return make_from_trial(self.base_estimator, trial)
 
     def fit(self, X, y):
         X = np.asarray(X, np.float32)

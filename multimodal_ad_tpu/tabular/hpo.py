@@ -51,8 +51,17 @@ class SeedEnsembleICL(ClassifierMixin, BaseEstimator):
         self.members_ = []
         for i in range(self.n_members):
             est = clone(base)
-            est.set_params(seed=int(est.get_params().get("seed", 0)) + 37 * i,
-                           preprocess=cycle[i % len(cycle)])
+            # only set knobs the base actually exposes — a non-ICL base
+            # (plain sklearn estimator) still works, it just gets
+            # identical members beyond any internal randomness
+            have = est.get_params()
+            updates = {}
+            if "seed" in have:
+                updates["seed"] = int(have["seed"] or 0) + 37 * i
+            if "preprocess" in have:
+                updates["preprocess"] = cycle[i % len(cycle)]
+            if updates:
+                est.set_params(**updates)
             self.members_.append(est.fit(X, y))
         self.classes_ = self.members_[0].classes_
         return self
@@ -80,6 +89,30 @@ def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
     }
 
 
+def make_from_trial(base_estimator, trial: dict | None):
+    """Build the estimator a `default_search_space` trial describes — the
+    ONE place trial keys are applied, shared by the Tuned and Auto
+    wrappers so a sampled dimension is never silently ignored. trial=None
+    means the unmodified base config (auto preprocess)."""
+    from .icl import ICLClassifier
+
+    est = (clone(base_estimator) if base_estimator is not None
+           else ICLClassifier())
+    if trial is None:
+        return est
+    est.set_params(softmax_temperature=trial["softmax_temperature"],
+                   context_size=trial["context_size"], seed=trial["seed"],
+                   preprocess=trial["preprocess"],
+                   **({"n_estimators": trial["n_estimators"]}
+                      if "n_estimators" in trial
+                      and "n_estimators" in est.get_params() else {}))
+    if trial.get("n_ensemble", 1) > 1:
+        return SeedEnsembleICL(
+            est, n_members=trial["n_ensemble"],
+            diverse_preprocess=trial.get("diverse_preprocess", False))
+    return est
+
+
 class TunedICLClassifier(ClassifierMixin, BaseEstimator):
     def __init__(self, base_estimator=None, n_trials: int = 20,
                  metric: str = "roc_auc", n_splits: int = 3,
@@ -92,23 +125,7 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
         self.verbose = verbose
 
     def _make(self, trial: dict | None):
-        from .icl import ICLClassifier
-
-        est = (clone(self.base_estimator) if self.base_estimator is not None
-               else ICLClassifier())
-        if trial is None:  # the unmodified base config (auto preprocess)
-            return est
-        est.set_params(softmax_temperature=trial["softmax_temperature"],
-                       context_size=trial["context_size"], seed=trial["seed"],
-                       preprocess=trial["preprocess"],
-                       **({"n_estimators": trial["n_estimators"]}
-                          if "n_estimators" in trial
-                          and "n_estimators" in est.get_params() else {}))
-        if trial.get("n_ensemble", 1) > 1:
-            return SeedEnsembleICL(
-                est, n_members=trial["n_ensemble"],
-                diverse_preprocess=trial.get("diverse_preprocess", False))
-        return est
+        return make_from_trial(self.base_estimator, trial)
 
     def fit(self, X, y):
         X = np.asarray(X, np.float32)

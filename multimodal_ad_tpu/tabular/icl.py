@@ -223,9 +223,10 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
         elif kind < t3:
             # pairwise-interaction prior: score dominated by products of
             # feature pairs (XOR-like boundaries that no linear readout of
-            # single features can express). 40% of tasks use SIGN products
-            # — crisp quadrant/XOR boundaries with zero magnitude cue, the
-            # regime where GradBoost beat the round-2 asset 1.00 vs 0.77.
+            # single features can express). Half the tasks use SIGN
+            # products — crisp quadrant/XOR boundaries with zero magnitude
+            # cue, the regime where GradBoost beat the round-2 asset
+            # 1.00 vs 0.77.
             xs = rng.normal(size=(n, f)).astype(np.float32)
             n_pairs = int(rng.integers(1, 4))
             hard = rng.random() < 0.5
@@ -394,9 +395,11 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
 
 
 def default_asset_path() -> str:
-    """Bundled asset location; override with MAD_ICL_ASSET to point every
-    ICLClassifier/ICLRegressor in the process at a different meta-trained
-    weight file (e.g. one produced by cli/pretrain_icl)."""
+    """Bundled CLASSIFIER asset location; override with MAD_ICL_ASSET to
+    point every ICLClassifier in the process at a different meta-trained
+    weight file (e.g. one produced by cli/pretrain_icl). The regressor's
+    bar-distribution network has its own asset and its own override,
+    MAD_ICL_REG_ASSET (icl_regression.py)."""
     import os
 
     env = os.environ.get("MAD_ICL_ASSET")
@@ -406,21 +409,17 @@ def default_asset_path() -> str:
                         "assets", "icl_default.msgpack")
 
 
-def _load_params_file(cfg: ICLConfig, path: str):
+def validated_from_bytes(template, path: str):
+    """flax deserialization with leaf-SHAPE validation + fp32 upcast,
+    shared by the classifier and regression asset loaders. from_bytes
+    validates tree STRUCTURE but not array shapes — a d_model/d_ff/
+    max_features mismatch would load silently and only fail later with an
+    opaque ScopeParamShapeError; compare leaves here so the caller's
+    helpful config-mismatch message fires instead."""
     from flax import serialization
 
-    model = ICLTransformer(cfg)
-    rng = np.random.default_rng(0)
-    t = sample_tasks(rng, 1, cfg, 8, 4)
-    template = model.init(jax.random.PRNGKey(0), jnp.asarray(t["x_ctx"]),
-                          jnp.asarray(t["y_ctx"]), jnp.asarray(t["ctx_mask"]),
-                          jnp.asarray(t["x_qry"]))
     with open(path, "rb") as f:
         loaded = serialization.from_bytes(template, f.read())
-    # from_bytes validates tree STRUCTURE but not array shapes — a
-    # d_model/d_ff/max_features mismatch would load silently and only fail
-    # later with an opaque ScopeParamShapeError; compare leaves here so the
-    # caller's helpful config-mismatch message fires instead.
     mismatches = [
         f"{jax.tree_util.keystr(k)}: asset {np.shape(v)} != expected {np.shape(t)}"
         for (k, v), t in zip(jax.tree_util.tree_leaves_with_path(loaded),
@@ -432,44 +431,65 @@ def _load_params_file(cfg: ICLConfig, path: str):
     return jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), loaded)
 
 
-def load_default_params(cfg: ICLConfig):
-    """Meta-trained weights for `cfg`: a MAD_ICL_ASSET override is loaded
-    for ANY config (a dangling path or shape mismatch raises so a
-    user-supplied asset is never silently ignored); the bundled asset only
-    matches the default ICLConfig. Returns None when no asset applies (the
-    estimator then self-pretrains)."""
+def resolve_asset_params(load_file, env_var: str, bundled_path: str,
+                         cfg_is_default: bool, cfg_desc: str):
+    """Shared env-override / bundled-asset policy (one source of truth for
+    both networks): an env override is loaded for ANY config and
+    hard-fails on a dangling path or mismatch (a user-supplied asset is
+    never silently ignored); the bundled asset applies only to the default
+    config and degrades to None — self-pretraining — on any problem."""
     import os
 
-    env = os.environ.get("MAD_ICL_ASSET")
+    env = os.environ.get(env_var)
     if env:
         if not os.path.isfile(env):
             # a typo'd path must not be indistinguishable from "no override"
             # (the estimator would silently self-pretrain at lower quality)
             raise FileNotFoundError(
-                f"MAD_ICL_ASSET={env} does not exist; unset the variable to "
+                f"{env_var}={env} does not exist; unset the variable to "
                 "use the bundled asset or point it at a real weight file")
         try:
-            return _load_params_file(cfg, env)
+            return load_file(env)
         except Exception as e:
             raise ValueError(
-                f"MAD_ICL_ASSET={env} does not match ICLConfig {cfg} "
+                f"{env_var}={env} does not match {cfg_desc} "
                 f"(was it trained with different --d-model/layers?): {e}"
             ) from e
-    if cfg != ICLConfig():
-        return None
-    path = default_asset_path()
-    if not os.path.isfile(path):
+    if not cfg_is_default or not os.path.isfile(bundled_path):
         return None
     try:
-        return _load_params_file(cfg, path)
+        return load_file(bundled_path)
     except ValueError as e:
         # a stale bundled asset (e.g. trained for an older default config)
-        # degrades like a missing one — only explicit MAD_ICL_ASSET
-        # overrides hard-fail on mismatch
+        # degrades like a missing one — only explicit env overrides
+        # hard-fail on mismatch
         import warnings
 
-        warnings.warn(f"ignoring bundled ICL asset {path}: {e}")
+        warnings.warn(f"ignoring bundled ICL asset {bundled_path}: {e}")
         return None
+
+
+def _load_params_file(cfg: ICLConfig, path: str):
+    model = ICLTransformer(cfg)
+    rng = np.random.default_rng(0)
+    t = sample_tasks(rng, 1, cfg, 8, 4)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(t["x_ctx"]),
+                          jnp.asarray(t["y_ctx"]), jnp.asarray(t["ctx_mask"]),
+                          jnp.asarray(t["x_qry"]))
+    return validated_from_bytes(template, path)
+
+
+def load_default_params(cfg: ICLConfig):
+    """Meta-trained weights for `cfg` under the `resolve_asset_params`
+    policy; None when no asset applies (the estimator self-pretrains)."""
+    import os
+
+    bundled = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "icl_default.msgpack")
+    return resolve_asset_params(
+        lambda p: _load_params_file(cfg, p), "MAD_ICL_ASSET", bundled,
+        cfg == ICLConfig(), f"ICLConfig {cfg}")
 
 
 class FeaturePreprocessMixin:

@@ -51,6 +51,78 @@ def _bucket(key, score, c, C):
     return (score[:, None] >= qs[None, :]).sum(1).astype(jnp.int32)
 
 
+def _family_correlated(ks, n, F, f, feat):
+    """Correlated-latent family, shared verbatim by the classifier and
+    regression priors (consumes ks[7..13]): observed features = mix of
+    k < f latents + small noise; the score is on the latents or on a
+    whitened-coordinate direction. The whitened direction
+    evecs @ (g / sqrt(evals)) is a draw from N(0, cov^-1); sample it with
+    a Cholesky triangular solve instead of eigh — identical distribution,
+    far cheaper to compile/run on TPU. Population covariance of the
+    generative model (host uses the empirical one — same prior family);
+    dead feature dims get a tiny ridge and carry zero data, so they cannot
+    contribute to the score."""
+    Kp = max(1, F // 2)
+    k = jax.random.randint(ks[7], (), 1, jnp.maximum(2, f // 2) + 1)
+    kmask = (jnp.arange(Kp) < k).astype(jnp.float32)
+    z = jax.random.normal(ks[8], (n, Kp)) * kmask
+    mix = jax.random.normal(ks[9], (Kp, F)) * kmask[:, None] * feat[None, :]
+    eps = jax.random.uniform(ks[10], (), minval=0.02, maxval=0.3)
+    xs_co = z @ mix + eps * jax.random.normal(ks[11], (n, F)) * feat
+    score_lat = z @ (jax.random.normal(ks[12], (Kp,)) * kmask)
+    cov = mix.T @ mix + (eps ** 2) * jnp.diag(feat) + 1e-6 * jnp.eye(F)
+    chol = jnp.linalg.cholesky(cov)
+    kw, kb = jax.random.split(ks[13])
+    w_white = jax.scipy.linalg.solve_triangular(
+        chol.T, jax.random.normal(kw, (F,)), lower=False)
+    score_wht = (xs_co - xs_co.mean(0)) @ w_white
+    score_co = jnp.where(jax.random.uniform(kb, ()) < 0.5,
+                         score_lat, score_wht)
+    return xs_co, score_co
+
+
+def _family_pairwise(ks, n, F, f, feat, hard):
+    """Pairwise-interaction family (consumes ks[14..17]): score dominated
+    by products of feature pairs — XOR-like boundaries no linear readout
+    of single features can express. ``hard`` (traced bool) switches the
+    products to SIGN products (crisp quadrant boundaries, no magnitude
+    cue); the regression prior always passes False."""
+    xs_pw = jax.random.normal(ks[14], (n, F)) * feat
+    n_pairs = jax.random.randint(ks[15], (), 1, 4)
+    score_pw = (jnp.where(hard, 0.0, 0.2)
+                * (xs_pw @ (jax.random.normal(ks[16], (F,)) * feat)))
+    pk = jax.random.split(ks[17], 3)
+    for p in range(3):
+        pi, pj, pg = jax.random.split(pk[p], 3)
+        i = jax.random.randint(pi, (), 0, f)
+        jr = jax.random.randint(pj, (), 0, jnp.maximum(f - 1, 1))
+        j = jr + (jr >= i).astype(jr.dtype)
+        g = jax.random.normal(pg, ())
+        raw = jnp.take(xs_pw, i, axis=1) * jnp.take(xs_pw, j, axis=1)
+        term = g * jnp.where(hard, jnp.sign(raw), raw)
+        score_pw = score_pw + jnp.where(p < n_pairs, term, 0.0)
+    return xs_pw, score_pw
+
+
+def _family_periodic(key, ks, n, F, f, feat):
+    """Periodic family (consumes ks[21..23] + fold_in(key, 13)): sinusoids
+    of single features + a small linear term — oscillating decision
+    surfaces / the smooth nonlinear regression regime."""
+    xs_pe = jax.random.normal(ks[21], (n, F)) * feat
+    n_waves = jax.random.randint(ks[22], (), 1, 3)
+    score_pe = 0.1 * (xs_pe @ (jax.random.normal(ks[23], (F,)) * feat))
+    wk = jax.random.split(jax.random.fold_in(key, 13), 2)
+    for p in range(2):
+        ki_, kw_, kp_, kg_ = jax.random.split(wk[p], 4)
+        i = jax.random.randint(ki_, (), 0, f)
+        w = jax.random.uniform(kw_, (), minval=1.0, maxval=4.0)
+        ph = jax.random.uniform(kp_, (), minval=0.0, maxval=2 * jnp.pi)
+        g = jax.random.normal(kg_, ())
+        term = g * jnp.sin(w * jnp.take(xs_pe, i, axis=1) + ph)
+        score_pe = score_pe + jnp.where(p < n_waves, term, 0.0)
+    return xs_pe, score_pe
+
+
 def _one_task(key, n, F, C, thresholds=(0.22, 0.40, 0.62, 0.74)):
     """One (x (n,F) float32, y (n,) int32) draw from the prior; mirrors the
     five families of icl.sample_tasks. ``thresholds`` are the cumulative
@@ -91,62 +163,13 @@ def _one_task(key, n, F, C, thresholds=(0.22, 0.40, 0.62, 0.74)):
     quant_cl = (xs_cl > -0.5).astype(jnp.float32) + (xs_cl > 0.5)
     xs_cl = jnp.where(catm_cl[None, :], quant_cl, xs_cl) * feat
 
-    # -- correlated-latent: observed = mix of k < f latents + small noise;
-    # score on the latents or on a whitened-coordinate direction
-    Kp = max(1, F // 2)
-    k = jax.random.randint(ks[7], (), 1, jnp.maximum(2, f // 2) + 1)
-    kmask = (jnp.arange(Kp) < k).astype(jnp.float32)
-    z = jax.random.normal(ks[8], (n, Kp)) * kmask
-    mix = jax.random.normal(ks[9], (Kp, F)) * kmask[:, None] * feat[None, :]
-    eps = jax.random.uniform(ks[10], (), minval=0.02, maxval=0.3)
-    xs_co = z @ mix + eps * jax.random.normal(ks[11], (n, F)) * feat
-    score_lat = z @ (jax.random.normal(ks[12], (Kp,)) * kmask)
-    # population covariance of the generative model (host uses the empirical
-    # one — same prior family); dead feature dims get a tiny ridge and carry
-    # zero data, so they cannot contribute to the score. The whitened-
-    # coordinate direction evecs @ (g / sqrt(evals)) is a draw from
-    # N(0, cov^-1); sample it with a Cholesky triangular solve instead of
-    # eigh — identical distribution, far cheaper to compile/run on TPU.
-    cov = mix.T @ mix + (eps ** 2) * jnp.diag(feat) + 1e-6 * jnp.eye(F)
-    chol = jnp.linalg.cholesky(cov)
-    kw, kb = jax.random.split(ks[13])
-    w_white = jax.scipy.linalg.solve_triangular(
-        chol.T, jax.random.normal(kw, (F,)), lower=False)
-    score_wht = (xs_co - xs_co.mean(0)) @ w_white
-    score_co = jnp.where(jax.random.uniform(kb, ()) < 0.5,
-                         score_lat, score_wht)
-
-    # -- pairwise-interaction: XOR-like products of feature pairs; 40% of
-    # tasks use SIGN products (crisp quadrant boundaries, no magnitude cue)
-    xs_pw = jax.random.normal(ks[14], (n, F)) * feat
-    n_pairs = jax.random.randint(ks[15], (), 1, 4)
+    # -- correlated-latent / pairwise-interaction / periodic: shared family
+    # builders (same key-index consumption as inlined, so the sampled
+    # stream is unchanged); half the pairwise tasks use SIGN products
+    xs_co, score_co = _family_correlated(ks, n, F, f, feat)
     hard = jax.random.uniform(ks[20], ()) < 0.5
-    score_pw = (jnp.where(hard, 0.0, 0.2)
-                * (xs_pw @ (jax.random.normal(ks[16], (F,)) * feat)))
-    pk = jax.random.split(ks[17], 3)
-    for p in range(3):
-        pi, pj, pg = jax.random.split(pk[p], 3)
-        i = jax.random.randint(pi, (), 0, f)
-        jr = jax.random.randint(pj, (), 0, jnp.maximum(f - 1, 1))
-        j = jr + (jr >= i).astype(jr.dtype)
-        g = jax.random.normal(pg, ())
-        raw = jnp.take(xs_pw, i, axis=1) * jnp.take(xs_pw, j, axis=1)
-        term = g * jnp.where(hard, jnp.sign(raw), raw)
-        score_pw = score_pw + jnp.where(p < n_pairs, term, 0.0)
-
-    # -- periodic: sinusoids of single features + small linear term
-    xs_pe = jax.random.normal(ks[21], (n, F)) * feat
-    n_waves = jax.random.randint(ks[22], (), 1, 3)
-    score_pe = 0.1 * (xs_pe @ (jax.random.normal(ks[23], (F,)) * feat))
-    wk = jax.random.split(jax.random.fold_in(key, 13), 2)
-    for p in range(2):
-        ki_, kw_, kp_, kg_ = jax.random.split(wk[p], 4)
-        i = jax.random.randint(ki_, (), 0, f)
-        w = jax.random.uniform(kw_, (), minval=1.0, maxval=4.0)
-        ph = jax.random.uniform(kp_, (), minval=0.0, maxval=2 * jnp.pi)
-        g = jax.random.normal(kg_, ())
-        term = g * jnp.sin(w * jnp.take(xs_pe, i, axis=1) + ph)
-        score_pe = score_pe + jnp.where(p < n_waves, term, 0.0)
+    xs_pw, score_pw = _family_pairwise(ks, n, F, f, feat, hard)
+    xs_pe, score_pe = _family_periodic(key, ks, n, F, f, feat)
 
     # -- random shallow MLP with some features quantized to {0,1,2}
     xs_m = jax.random.normal(ks[18], (n, F))
@@ -198,52 +221,12 @@ def _one_reg_task(key, n, F):
     xs_li = jax.random.normal(ks[3], (n, F)) * feat
     score_li = xs_li @ (jax.random.normal(ks[4], (F,)) * feat)
 
-    # -- correlated-latent (same construction as the classifier prior)
-    Kp = max(1, F // 2)
-    k = jax.random.randint(ks[7], (), 1, jnp.maximum(2, f // 2) + 1)
-    kmask = (jnp.arange(Kp) < k).astype(jnp.float32)
-    z = jax.random.normal(ks[8], (n, Kp)) * kmask
-    mix = jax.random.normal(ks[9], (Kp, F)) * kmask[:, None] * feat[None, :]
-    eps = jax.random.uniform(ks[10], (), minval=0.02, maxval=0.3)
-    xs_co = z @ mix + eps * jax.random.normal(ks[11], (n, F)) * feat
-    score_lat = z @ (jax.random.normal(ks[12], (Kp,)) * kmask)
-    # N(0, cov^-1) direction via Cholesky solve (see _one_task)
-    cov = mix.T @ mix + (eps ** 2) * jnp.diag(feat) + 1e-6 * jnp.eye(F)
-    chol = jnp.linalg.cholesky(cov)
-    kw, kb = jax.random.split(ks[13])
-    w_white = jax.scipy.linalg.solve_triangular(
-        chol.T, jax.random.normal(kw, (F,)), lower=False)
-    score_wht = (xs_co - xs_co.mean(0)) @ w_white
-    score_co = jnp.where(jax.random.uniform(kb, ()) < 0.5,
-                         score_lat, score_wht)
-
-    # -- pairwise-interaction
-    xs_pw = jax.random.normal(ks[14], (n, F)) * feat
-    n_pairs = jax.random.randint(ks[15], (), 1, 4)
-    score_pw = 0.2 * (xs_pw @ (jax.random.normal(ks[16], (F,)) * feat))
-    pk = jax.random.split(ks[17], 3)
-    for p in range(3):
-        pi, pj, pg = jax.random.split(pk[p], 3)
-        i = jax.random.randint(pi, (), 0, f)
-        jr = jax.random.randint(pj, (), 0, jnp.maximum(f - 1, 1))
-        j = jr + (jr >= i).astype(jr.dtype)
-        g = jax.random.normal(pg, ())
-        term = g * jnp.take(xs_pw, i, axis=1) * jnp.take(xs_pw, j, axis=1)
-        score_pw = score_pw + jnp.where(p < n_pairs, term, 0.0)
-
-    # -- periodic (the smooth sinusoidal regime, e.g. sin surfaces)
-    xs_pe = jax.random.normal(ks[21], (n, F)) * feat
-    n_waves = jax.random.randint(ks[22], (), 1, 3)
-    score_pe = 0.1 * (xs_pe @ (jax.random.normal(ks[23], (F,)) * feat))
-    wk = jax.random.split(jax.random.fold_in(key, 13), 2)
-    for p in range(2):
-        ki_, kw_, kp_, kg_ = jax.random.split(wk[p], 4)
-        i = jax.random.randint(ki_, (), 0, f)
-        w = jax.random.uniform(kw_, (), minval=1.0, maxval=4.0)
-        ph = jax.random.uniform(kp_, (), minval=0.0, maxval=2 * jnp.pi)
-        g = jax.random.normal(kg_, ())
-        term = g * jnp.sin(w * jnp.take(xs_pe, i, axis=1) + ph)
-        score_pe = score_pe + jnp.where(p < n_waves, term, 0.0)
+    # -- correlated-latent / pairwise (soft products only) / periodic:
+    # shared family builders — any fix lands in both priors at once
+    xs_co, score_co = _family_correlated(ks, n, F, f, feat)
+    xs_pw, score_pw = _family_pairwise(ks, n, F, f, feat,
+                                       jnp.asarray(False))
+    xs_pe, score_pe = _family_periodic(key, ks, n, F, f, feat)
 
     # -- random shallow MLP
     xs_m = jax.random.normal(ks[18], (n, F)) * feat

@@ -206,24 +206,13 @@ def default_reg_asset_path() -> str:
 
 
 def _load_reg_params_file(cfg: RegICLConfig, path: str):
-    from flax import serialization
+    from .icl import validated_from_bytes
 
     model = RegICLTransformer(cfg)
     t = sample_template_task(cfg)
     template = model.init(jax.random.PRNGKey(0), t["x_ctx"], t["y_ctx"],
                           t["ctx_mask"], t["x_qry"])
-    with open(path, "rb") as f:
-        loaded = serialization.from_bytes(template, f.read())
-    mismatches = [
-        f"{jax.tree_util.keystr(k)}: asset {np.shape(v)} != expected {np.shape(t_)}"
-        for (k, v), t_ in zip(jax.tree_util.tree_leaves_with_path(loaded),
-                              jax.tree_util.tree_leaves(template))
-        if np.shape(v) != np.shape(t_)]
-    if mismatches:
-        raise ValueError("array shape mismatch: " + "; ".join(mismatches[:4]))
-    # assets may be stored in reduced precision; compute expects fp32
-    return jax.tree_util.tree_map(
-        lambda a: np.asarray(a, np.float32), loaded)
+    return validated_from_bytes(template, path)
 
 
 def sample_template_task(cfg: RegICLConfig):
@@ -239,34 +228,17 @@ def sample_template_task(cfg: RegICLConfig):
 
 
 def load_default_reg_params(cfg: RegICLConfig):
-    """Meta-trained regression weights for `cfg` (same contract as the
-    classifier's load_default_params: dangling MAD_ICL_REG_ASSET or a shape
-    mismatch raises; None when no asset applies)."""
+    """Meta-trained regression weights for `cfg` under the classifier's
+    shared `resolve_asset_params` policy (one source of truth): dangling
+    MAD_ICL_REG_ASSET or a shape mismatch raises; None when no asset
+    applies (the estimator self-pretrains)."""
     import os
 
-    env = os.environ.get("MAD_ICL_REG_ASSET")
-    if env:
-        if not os.path.isfile(env):
-            raise FileNotFoundError(
-                f"MAD_ICL_REG_ASSET={env} does not exist; unset the variable "
-                "to use the bundled asset or point it at a real weight file")
-        try:
-            return _load_reg_params_file(cfg, env)
-        except ValueError as e:
-            raise ValueError(
-                f"MAD_ICL_REG_ASSET={env} does not match RegICLConfig {cfg} "
-                f"(was it trained with different --d-model/layers?): {e}"
-            ) from e
-    if cfg != RegICLConfig():
-        return None
-    path = default_reg_asset_path()
-    if not os.path.isfile(path):
-        return None
-    try:
-        return _load_reg_params_file(cfg, path)
-    except ValueError as e:
-        # stale bundled asset degrades like a missing one (see classifier)
-        import warnings
+    from .icl import resolve_asset_params
 
-        warnings.warn(f"ignoring bundled ICL regression asset {path}: {e}")
-        return None
+    bundled = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "icl_regression_default.msgpack")
+    return resolve_asset_params(
+        lambda p: _load_reg_params_file(cfg, p), "MAD_ICL_REG_ASSET",
+        bundled, cfg == RegICLConfig(), f"RegICLConfig {cfg}")

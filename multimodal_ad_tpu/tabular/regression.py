@@ -118,7 +118,8 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
                 params=self.params, cfg=self.cfg,
                 pretrain_steps=self.pretrain_steps, seed=self.seed,
                 softmax_temperature=self.softmax_temperature,
-                context_size=self.context_size, preprocess=kind)
+                context_size=self.context_size, preprocess=kind,
+                n_estimators=self.n_estimators)
             try:
                 sub.fit(X[tr], y[tr])
                 mse = float(np.mean((sub.predict(X[vl]) - y[vl]) ** 2))
@@ -239,8 +240,13 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         cdf = np.cumsum(probs, axis=1)
         out = []
         for q in qs:
-            # first bar where the CDF crosses q; linear interp inside it
-            i = np.argmax(cdf >= q, axis=1)
+            # first bar where the CDF crosses q; linear interp inside it.
+            # If float rounding leaves cdf[-1] just under q (q=1.0), argmax
+            # over all-False returns 0 — the distribution MINIMUM — so pin
+            # those rows to the last bar instead.
+            crossed = cdf >= q
+            i = np.where(crossed.any(1), np.argmax(crossed, axis=1),
+                         cdf.shape[1] - 1)
             prev = np.where(i > 0, np.take_along_axis(
                 cdf, np.maximum(i - 1, 0)[:, None], 1)[:, 0], 0.0)
             mass = np.take_along_axis(probs, i[:, None], 1)[:, 0]

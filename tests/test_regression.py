@@ -86,6 +86,20 @@ class TestICLRegressor:
         assert mse["pairs"] < 0.5 * base, (mse, base)
         assert mse["pairs"] < mse[None], mse
 
+    def test_extreme_quantiles_stay_ordered(self, tiny_reg):
+        """q=1.0 must decode the TOP of the bar support, not wrap to the
+        minimum when float rounding leaves cdf[-1] fractionally below 1
+        (regression: argmax over an all-False crossing row returned 0)."""
+        params, cfg = tiny_reg
+        X, y = linear_task(n=80, seed=12)
+        reg = ICLRegressor(params=params, cfg=cfg, preprocess=None).fit(X, y)
+        q0, q50, q1 = reg.predict(X[:10], output_type="quantiles",
+                                  quantiles=[0.0, 0.5, 1.0])
+        assert (q0 <= q50 + 1e-9).all() and (q50 <= q1 + 1e-9).all()
+        # the extreme quantiles must actually bracket the median by the
+        # support, not collapse onto the bottom edge
+        assert (q1 > q0).all()
+
     def test_embeddings_shape(self, tiny_reg):
         params, cfg = tiny_reg
         X, y = linear_task(n=60, seed=4)

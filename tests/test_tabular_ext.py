@@ -346,6 +346,42 @@ class TestICLWrappers:
         acc = (clf.predict(X[100:]) == y[100:]).mean()
         assert acc > 0.8
 
+    def test_seed_ensemble_plain_sklearn_base(self):
+        """A base estimator without seed/preprocess params (plain sklearn)
+        must not crash SeedEnsembleICL — only the knobs the base exposes
+        are set (regression: unconditional set_params raised)."""
+        from sklearn.linear_model import LogisticRegression
+
+        from multimodal_ad_tpu.tabular.hpo import SeedEnsembleICL
+
+        X, y = clusters(n=120, f=5, sep=2.5, seed=8)
+        ens = SeedEnsembleICL(LogisticRegression(max_iter=200), n_members=2)
+        ens.fit(X[:80], y[:80])
+        assert (ens.predict(X[80:]) == y[80:]).mean() > 0.8
+
+    def test_make_from_trial_applies_every_dimension(self, tiny):
+        """The shared trial builder (used by Tuned AND Auto wrappers) must
+        apply every sampled dimension — n_ensemble wraps members,
+        n_estimators reaches the base — so trials_ always describes the
+        estimator that was actually scored."""
+        from multimodal_ad_tpu.tabular.hpo import (SeedEnsembleICL,
+                                                   make_from_trial)
+
+        trial = {"softmax_temperature": 0.75, "context_size": 64, "seed": 5,
+                 "preprocess": "quantile", "n_ensemble": 2,
+                 "diverse_preprocess": False, "n_estimators": 2}
+        est = make_from_trial(tiny, trial)
+        assert isinstance(est, SeedEnsembleICL)
+        assert est.n_members == 2
+        base = est.base_estimator
+        assert base.softmax_temperature == 0.75
+        assert base.context_size == 64
+        assert base.preprocess == "quantile"
+        assert base.n_estimators == 2
+        # n_ensemble=1 returns the bare estimator
+        est1 = make_from_trial(tiny, {**trial, "n_ensemble": 1})
+        assert not isinstance(est1, SeedEnsembleICL)
+
     def test_sklearn_meta_models(self, tiny):
         X, y = clusters(n=120, f=6, sep=2.5, seed=5)
         vc = make_voting_classifier(
