@@ -32,13 +32,21 @@ class SeedEnsembleICL(ClassifierMixin, BaseEstimator):
     """Average predict_proba over members that differ in context-subsample
     seed (and, when `diverse_preprocess`, cycle through feature
     transforms) — the reference HPO's N_ensemble_configurations analogue;
-    each member is one more jit'd forward, no extra training."""
+    each member is one more jit'd forward, no extra training.
+
+    `average_logits` averages members in LOG space before the softmax
+    (the reference space's `average_before_softmax` dimension,
+    hpo/search_space.py:126) — sharper when members agree, since the
+    geometric mean does not dilute confident members the way the
+    arithmetic probability mean does."""
 
     def __init__(self, base_estimator=None, n_members: int = 4,
-                 diverse_preprocess: bool = False):
+                 diverse_preprocess: bool = False,
+                 average_logits: bool = False):
         self.base_estimator = base_estimator
         self.n_members = n_members
         self.diverse_preprocess = diverse_preprocess
+        self.average_logits = average_logits
 
     def fit(self, X, y):
         from .icl import ICLClassifier
@@ -67,7 +75,13 @@ class SeedEnsembleICL(ClassifierMixin, BaseEstimator):
         return self
 
     def predict_proba(self, X):
-        return np.mean([m.predict_proba(X) for m in self.members_], axis=0)
+        probas = [m.predict_proba(X) for m in self.members_]
+        if not self.average_logits:
+            return np.mean(probas, axis=0)
+        # geometric mean renormalized = softmax of mean log-probabilities
+        logp = np.mean([np.log(np.maximum(p, 1e-12)) for p in probas], axis=0)
+        e = np.exp(logp - logp.max(1, keepdims=True))
+        return e / e.sum(1, keepdims=True)
 
     def predict(self, X):
         return self.classes_[np.argmax(self.predict_proba(X), axis=1)]
@@ -86,6 +100,9 @@ def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
         # permuted-view count inside each member (the reference searches
         # its ensemble-configurations dimension the same way)
         "n_estimators": int(rng.choice([1, 2, 4, 8])),
+        # log- vs probability-space member averaging (the reference's
+        # average_before_softmax dimension, hpo/search_space.py:126)
+        "average_logits": bool(rng.random() < 0.5),
     }
 
 
@@ -109,7 +126,8 @@ def make_from_trial(base_estimator, trial: dict | None):
     if trial.get("n_ensemble", 1) > 1:
         return SeedEnsembleICL(
             est, n_members=trial["n_ensemble"],
-            diverse_preprocess=trial.get("diverse_preprocess", False))
+            diverse_preprocess=trial.get("diverse_preprocess", False),
+            average_logits=trial.get("average_logits", False))
     return est
 
 

@@ -359,6 +359,26 @@ class TestICLWrappers:
         ens.fit(X[:80], y[:80])
         assert (ens.predict(X[80:]) == y[80:]).mean() > 0.8
 
+    def test_seed_ensemble_average_logits(self, tiny):
+        """average_logits=True (the reference space's average_before_softmax
+        dimension) combines members as a renormalized geometric mean —
+        probabilities still sum to 1, and with a SINGLE member both modes
+        are identical."""
+        from multimodal_ad_tpu.tabular.hpo import SeedEnsembleICL
+
+        X, y = clusters(n=120, f=5, sep=2.5, seed=9)
+        pa = SeedEnsembleICL(tiny, n_members=3).fit(
+            X[:80], y[:80]).predict_proba(X[80:])
+        pl = SeedEnsembleICL(tiny, n_members=3, average_logits=True).fit(
+            X[:80], y[:80]).predict_proba(X[80:])
+        np.testing.assert_allclose(pl.sum(1), 1.0, rtol=1e-5)
+        assert not np.allclose(pa, pl)  # genuinely different combiners
+        one_a = SeedEnsembleICL(tiny, n_members=1).fit(
+            X[:80], y[:80]).predict_proba(X[80:])
+        one_l = SeedEnsembleICL(tiny, n_members=1, average_logits=True).fit(
+            X[:80], y[:80]).predict_proba(X[80:])
+        np.testing.assert_allclose(one_a, one_l, atol=1e-6)
+
     def test_make_from_trial_applies_every_dimension(self, tiny):
         """The shared trial builder (used by Tuned AND Auto wrappers) must
         apply every sampled dimension — n_ensemble wraps members,
