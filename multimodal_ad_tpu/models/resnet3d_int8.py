@@ -1,0 +1,269 @@
+"""Post-training int8 inference for the 3D ResNet family (BasicBlock depths).
+
+v5e's MXU runs int8 at 2x the bf16 rate (394 TOPS vs 197 TFLOP/s), and the
+flagship's FLOPs concentrate in two dilated conv stages where the measured
+int8 advantage is real (stage4 1.70x, stage3 1.43x —
+benchmarks/int8_probe.py). This module converts a TRAINED fp ResNet3D
+(reference models/resnet.py:40-264 architecture) into an int8 inference
+graph:
+
+- BatchNorm is folded into each conv: y = conv(x)*g + b with
+  g = scale/sqrt(var+eps), b = bias - mean*g — inference-only, so running
+  statistics are exact constants,
+- weights quantize symmetrically PER OUTPUT CHANNEL (w_q = round(w/s_c),
+  s_c = max|w[..., c]|/127): channel scales ride the existing dequant
+  multiply, so finer weight granularity is free,
+- activations quantize symmetrically PER TENSOR with STATIC scales
+  calibrated offline (max|h| over calibration batches / 127): no dynamic
+  range computation in the serving graph,
+- the conv itself runs int8 x int8 -> int32 on the MXU
+  (`preferred_element_type=int32`); dequant + folded-BN bias + relu fuse
+  into the surrounding elementwise ops,
+- the stem (3.4% of FLOPs, C_in=1) and the classifier head stay bf16 —
+  the standard first/last-layer exemption, and the s2d stem path is reused
+  unchanged,
+- residual adds happen in float between blocks (the int8 tensors exist
+  only across each conv).
+
+Usage:
+    variables = {"params": ..., "batch_stats": ...}   # trained fp model
+    qp = export_int8(variables, depth=18, shortcut_type="B")
+    scales = calibrate_int8(qp, calibration_batches)  # few real batches
+    logits = resnet3d_int8_apply(qp, scales, x)       # jit-able
+
+Accuracy/perf are measured on the real chip by benchmarks/int8_infer.py
+(results in benchmarks/ROOFLINE.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resnet3d import _STEM_S2D_IDX, DEPTH_BLOCKS, max_pool_3d
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _fold_bn(kernel, bn_p, bn_s, eps=1e-5):
+    """Fold inference-mode BatchNorm into the preceding bias-free conv."""
+    g = bn_p["scale"] / np.sqrt(np.asarray(bn_s["var"]) + eps)
+    b = bn_p["bias"] - bn_s["mean"] * g
+    return np.asarray(kernel) * g, np.asarray(b, np.float32)
+
+
+def _quant_weight(w):
+    """Symmetric per-output-channel int8: returns (w_q int8, s (C,) f32)."""
+    s = np.max(np.abs(w), axis=(0, 1, 2, 3)) / 127.0 + 1e-12
+    wq = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+    return wq, s.astype(np.float32)
+
+
+def export_int8(variables, depth: int = 18, shortcut_type: str = "B"):
+    """Fold BN + quantize every stage conv of a trained BasicBlock ResNet3D.
+
+    Returns a host pytree ("qparams"): int8 kernels + per-channel scales +
+    folded biases per block conv, bf16-path stem/head weights, and the
+    block geometry needed to rebuild the forward. Bottleneck depths are
+    not yet supported (the flagship family is BasicBlock)."""
+    kind, layers = DEPTH_BLOCKS[depth]
+    if kind != "basic":
+        raise NotImplementedError(
+            f"int8 export supports BasicBlock depths (10/18/34), got {depth}")
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    qp = {
+        "stem": {
+            "kernel": params["Conv_0"]["kernel"],
+            "bn": (params["BatchNorm_0"], stats["BatchNorm_0"]),
+        },
+        "blocks": [],
+        "dense": params.get("Dense_0"),
+        "shortcut_type": shortcut_type,
+    }
+    # stem BN is NOT folded (the stem conv has no bias parameter in the
+    # bf16 path; folding is trivial but keeping BN explicit reuses the
+    # exact fp stem). Precompute its inference-mode affine instead:
+    bn_p, bn_s = qp["stem"]["bn"]
+    g = bn_p["scale"] / np.sqrt(bn_s["var"] + 1e-5)
+    qp["stem"]["g"] = g.astype(np.float32)
+    qp["stem"]["b"] = (bn_p["bias"] - bn_s["mean"] * g).astype(np.float32)
+
+    stage_spec = [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]
+    bi_global = 0
+    in_planes = 64
+    for (planes, stride0, dilation), n_blocks in zip(stage_spec, layers):
+        for bi in range(n_blocks):
+            stride = stride0 if bi == 0 else 1
+            bp = params[f"BasicBlock_{bi_global}"]
+            bs = stats[f"BasicBlock_{bi_global}"]
+
+            def folded_q(j):
+                w, b = _fold_bn(bp[f"ConvBN_{j}"]["Conv_0"]["kernel"],
+                                bp[f"ConvBN_{j}"]["BatchNorm_0"],
+                                bs[f"ConvBN_{j}"]["BatchNorm_0"])
+                wq, s = _quant_weight(w)
+                return {"wq": wq, "s": s, "b": b,
+                        "w_fp": w.astype(np.float32)}
+
+            block = {"stride": stride, "dilation": dilation,
+                     "planes": planes,
+                     "conv1": folded_q(0), "conv2": folded_q(1),
+                     "down": None}
+            needs_down = stride != 1 or in_planes != planes
+            if needs_down and shortcut_type == "B":
+                block["down"] = folded_q(2)
+            elif needs_down:  # shortcut A: parameter-free
+                block["down"] = "A"
+            qp["blocks"].append(block)
+            bi_global += 1
+            in_planes = planes
+    return qp
+
+
+def _conv_i8(xq, wq, stride, dilation, kernel):
+    pad = dilation * (kernel - 1) // 2
+    return jax.lax.conv_general_dilated(
+        xq, wq, (stride,) * 3, ((pad, pad),) * 3,
+        rhs_dilation=(dilation,) * 3,
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            xq.shape, wq.shape, _DN),
+        preferred_element_type=jnp.int32)
+
+
+def _conv_fp(x, w, stride, dilation, kernel):
+    pad = dilation * (kernel - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride,) * 3, ((pad, pad),) * 3,
+        rhs_dilation=(dilation,) * 3,
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, _DN))
+
+
+def _quantize(h, scale):
+    q = jnp.round(h.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def _stem_bf16(qp, x):
+    """bf16 space-to-depth stem (same packing as StemConv) + folded BN
+    affine + relu + maxpool."""
+    k = jnp.asarray(qp["stem"]["kernel"], jnp.bfloat16)
+    c_in = k.shape[3]
+    feats = k.shape[4]
+    idx = jnp.asarray(_STEM_S2D_IDX.reshape(-1))
+    w_flat = k.reshape(343, c_in, feats)
+    w2 = jnp.where((idx >= 0)[:, None, None],
+                   jnp.take(w_flat, jnp.maximum(idx, 0), axis=0), 0)
+    w2 = w2.reshape(4, 4, 4, 8 * c_in, feats)
+    x = x.astype(jnp.bfloat16)
+    b, D, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, D % 2), (0, H % 2), (0, W % 2), (0, 0)))
+    Dp, Hp, Wp = xp.shape[1:4]
+    xs = xp.reshape(b, Dp // 2, 2, Hp // 2, 2, Wp // 2, 2, c_in)
+    xs = xs.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    xs = xs.reshape(b, Dp // 2, Hp // 2, Wp // 2, 8 * c_in)
+    h = jax.lax.conv_general_dilated(
+        xs, w2, (1, 1, 1), ((2, 1),) * 3,
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            xs.shape, w2.shape, _DN))
+    h = h.astype(jnp.float32) * qp["stem"]["g"] + qp["stem"]["b"]
+    h = jax.nn.relu(h).astype(jnp.bfloat16)
+    return max_pool_3d(h, 3, 2, 1)
+
+
+def _shortcut_a(x, planes, stride):
+    # ShortcutA = window-1 strided avg pool (== strided slicing) + zero
+    # channel pad (resnet3d.py::ShortcutA)
+    if stride != 1:
+        x = x[:, ::stride, ::stride, ::stride, :]
+    pad = planes - x.shape[-1]
+    if pad > 0:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, pad),))
+    return x
+
+
+def _forward(qp, scales, x, quantized: bool, observe: bool):
+    """Shared folded forward. quantized=False runs the folded fp graph
+    (used for calibration, observe=True collects per-point max|h|)."""
+    h = _stem_bf16(qp, x)
+    maxes = []
+    for i, blk in enumerate(qp["blocks"]):
+        k1 = blk["conv1"]
+        k2 = blk["conv2"]
+        stride, dil = blk["stride"], blk["dilation"]
+        if observe:
+            maxes.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
+        if quantized:
+            s_in = scales[f"b{i}_in"]
+            hq = _quantize(h, s_in)
+            a = _conv_i8(hq, jnp.asarray(k1["wq"]), stride, dil, 3)
+            a = a.astype(jnp.float32) * (s_in * k1["s"]) + k1["b"]
+        else:
+            a = _conv_fp(h, jnp.asarray(k1["w_fp"], jnp.bfloat16),
+                         stride, dil, 3).astype(jnp.float32) + k1["b"]
+        a = jax.nn.relu(a)
+        if observe:
+            maxes.append(jnp.max(jnp.abs(a)))
+        if quantized:
+            s_mid = scales[f"b{i}_mid"]
+            aq = _quantize(a, s_mid)
+            o = _conv_i8(aq, jnp.asarray(k2["wq"]), 1, dil, 3)
+            o = o.astype(jnp.float32) * (s_mid * k2["s"]) + k2["b"]
+        else:
+            o = _conv_fp(a.astype(jnp.bfloat16),
+                         jnp.asarray(k2["w_fp"], jnp.bfloat16),
+                         1, dil, 3).astype(jnp.float32) + k2["b"]
+        if blk["down"] is None:
+            r = h.astype(jnp.float32)
+        elif blk["down"] == "A":
+            r = _shortcut_a(h.astype(jnp.float32), blk["planes"], stride)
+        else:
+            kd = blk["down"]
+            if quantized:
+                r = _conv_i8(hq, jnp.asarray(kd["wq"]), stride, 1, 1)
+                r = r.astype(jnp.float32) * (s_in * kd["s"]) + kd["b"]
+            else:
+                r = _conv_fp(h, jnp.asarray(kd["w_fp"], jnp.bfloat16),
+                             stride, 1, 1).astype(jnp.float32) + kd["b"]
+        h = jax.nn.relu(o + r).astype(jnp.bfloat16)
+    pooled = jnp.mean(h.astype(jnp.float32), axis=(1, 2, 3))
+    if qp["dense"] is None:
+        return pooled, maxes
+    logits = pooled @ np.asarray(qp["dense"]["kernel"], np.float32) \
+        + np.asarray(qp["dense"]["bias"], np.float32)
+    return logits, maxes
+
+
+def calibrate_int8(qp, batches) -> dict:
+    """Static activation scales from the folded FP graph: per quant point,
+    max|h| over all calibration batches / 127."""
+    fwd = jax.jit(partial(_forward, qp, None, quantized=False, observe=True))
+    agg = None
+    for x in batches:
+        _, maxes = fwd(x=jnp.asarray(x))
+        m = np.asarray(jax.device_get(maxes), np.float64)
+        agg = m if agg is None else np.maximum(agg, m)
+    scales = {}
+    for i in range(len(qp["blocks"])):
+        scales[f"b{i}_in"] = float(agg[2 * i] / 127.0 + 1e-12)
+        scales[f"b{i}_mid"] = float(agg[2 * i + 1] / 127.0 + 1e-12)
+    return scales
+
+
+def resnet3d_int8_apply(qp, scales, x):
+    """int8 inference forward -> (B, num_classes) fp32 logits (or pooled
+    embeddings when the model had no classifier head)."""
+    logits, _ = _forward(qp, scales, x, quantized=True, observe=False)
+    return logits
+
+
+def resnet3d_folded_apply(qp, x):
+    """Folded fp forward (BN constants baked in, bf16 convs) — the
+    quantization-free twin used to validate folding and by calibration."""
+    logits, _ = _forward(qp, None, x, quantized=False, observe=False)
+    return logits

@@ -1,0 +1,88 @@
+"""Post-training int8 inference path (models/resnet3d_int8.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_ad_tpu.models.resnet3d import ResNet3D
+from multimodal_ad_tpu.models.resnet3d_int8 import (calibrate_int8,
+                                                    export_int8,
+                                                    resnet3d_folded_apply,
+                                                    resnet3d_int8_apply)
+
+
+def _trained_like_model(depth=10, shortcut="B", shape=(24, 28, 24), seed=0):
+    """Init a model and push a few train-mode batches through so the
+    BatchNorm running statistics are realistic (not the 0/1 init)."""
+    model = ResNet3D(depth=depth, num_classes=2, shortcut_type=shortcut,
+                     dropout_rate=0.0)
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.normal(size=(2, *shape, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), x0, train=False)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    for i in range(3):
+        xb = jnp.asarray(rng.normal(size=(2, *shape, 1)) + 0.2 * i,
+                         jnp.float32)
+        _, upd = model.apply(state, xb, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(i)},
+                             mutable=["batch_stats"])
+        state["batch_stats"] = upd["batch_stats"]
+    return model, state, shape
+
+
+class TestInt8Export:
+    def test_folded_forward_matches_eval_mode(self):
+        """BN folding + topology: the folded fp graph reproduces the flax
+        eval-mode forward (bf16-level tolerance)."""
+        model, state, shape = _trained_like_model()
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(3, *shape, 1)), jnp.float32)
+        ref = np.asarray(model.apply(state, x, train=False), np.float32)
+        qp = export_int8(state, depth=10)
+        fold = np.asarray(resnet3d_folded_apply(qp, x), np.float32)
+        assert ref.shape == fold.shape == (3, 2)
+        np.testing.assert_allclose(fold, ref, atol=0.15, rtol=0.05)
+
+    def test_int8_logits_track_fp(self):
+        """Quantized logits stay close to fp and agree on argmax."""
+        model, state, shape = _trained_like_model(seed=3)
+        rng = np.random.default_rng(2)
+        cal = [jnp.asarray(rng.normal(size=(2, *shape, 1)), jnp.float32)
+               for _ in range(2)]
+        qp = export_int8(state, depth=10)
+        scales = calibrate_int8(qp, cal)
+        assert all(s > 0 for s in scales.values())
+        x = jnp.asarray(rng.normal(size=(4, *shape, 1)), jnp.float32)
+        fp = np.asarray(model.apply(state, x, train=False), np.float32)
+        q8 = np.asarray(resnet3d_int8_apply(qp, scales, x), np.float32)
+        # logit error small relative to the logit spread
+        spread = np.abs(fp).max() + 1e-6
+        assert np.abs(q8 - fp).max() / spread < 0.25, (fp, q8)
+        assert (q8.argmax(1) == fp.argmax(1)).mean() >= 0.75
+
+    def test_shortcut_a_variant(self):
+        """Shortcut-A (parameter-free) blocks export and run."""
+        model, state, shape = _trained_like_model(shortcut="A", seed=5)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, *shape, 1)), jnp.float32)
+        qp = export_int8(state, depth=10, shortcut_type="A")
+        assert any(b["down"] == "A" for b in qp["blocks"])
+        ref = np.asarray(model.apply(state, x, train=False), np.float32)
+        fold = np.asarray(resnet3d_folded_apply(qp, x), np.float32)
+        np.testing.assert_allclose(fold, ref, atol=0.15, rtol=0.05)
+
+    def test_bottleneck_unsupported(self):
+        with pytest.raises(NotImplementedError):
+            export_int8({"params": {}, "batch_stats": {}}, depth=50)
+
+    def test_weight_quantization_is_per_channel(self):
+        model, state, shape = _trained_like_model(seed=7)
+        qp = export_int8(state, depth=10)
+        blk = qp["blocks"][0]
+        assert blk["conv1"]["wq"].dtype == np.int8
+        C = blk["conv1"]["wq"].shape[-1]
+        assert blk["conv1"]["s"].shape == (C,)
+        # every channel uses the full int8 range (per-channel, not global)
+        assert (np.abs(blk["conv1"]["wq"]).max(axis=(0, 1, 2, 3)) == 127).all()
