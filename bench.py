@@ -232,6 +232,46 @@ def bench_jax_hbm_resident(vols, ds, mesh, per_device_batch):
     return timed * batch / dt
 
 
+def bench_jax_int8(ds, mesh, per_device_batch):
+    """int8 serving-graph throughput (models/resnet3d_int8.py: BN-folded,
+    per-channel int8 weights, calibrated static activation scales) with the
+    HBM-resident corpus — same gather + device-normalize front end as the
+    bf16 phase, quantized forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_ad_tpu.models.resnet3d import generate_model
+    from multimodal_ad_tpu.models.resnet3d_int8 import (calibrate_int8,
+                                                        export_int8,
+                                                        resnet3d_int8_apply)
+    from multimodal_ad_tpu.ops.normalize import scale_intensity as dev_scale
+
+    batch = per_device_batch * mesh.size
+    model = generate_model(model_depth=18, nb_class=2)
+    x0 = jnp.zeros((1, *VOL_SHAPE, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0,
+                           train=False)
+    qp = export_int8({"params": variables["params"],
+                      "batch_stats": variables["batch_stats"]}, depth=18)
+    cal_idx = jnp.arange(min(4, ds.n), dtype=jnp.int32)
+    cal = dev_scale(ds.gather(cal_idx)["image"])
+    scales = calibrate_int8(qp, [cal])
+
+    @jax.jit
+    def step(indices):
+        b = ds.gather(indices)
+        return resnet3d_int8_apply(qp, scales, dev_scale(b["image"]))
+
+    rng = np.random.default_rng(0)
+    np.asarray(step(rng.integers(0, ds.n, batch).astype(np.int32)))
+    timed = max(4, 384 // batch)
+    t0 = time.time()
+    outs = [step(rng.integers(0, ds.n, batch).astype(np.int32))
+            for _ in range(timed)]
+    np.asarray(outs[-1])
+    return timed * batch / (time.time() - t0)
+
+
 def bench_jax_train(vols, ds, mesh, per_device_batch):
     """Training-step throughput (fwd+bwd+update) with HBM-resident data."""
     import jax
@@ -316,6 +356,13 @@ def main():
     hbm_vps = infer_by_batch[best_infer_b] if infer_ok else 0.0
     train_vps = train_by_batch[best_train_b] if train_ok else 0.0
 
+    int8_vps = None
+    if best_infer_b:
+        try:
+            int8_vps = round(bench_jax_int8(ds, mesh, best_infer_b), 2)
+        except Exception as e:  # optional phase: never sinks the JSON line
+            print(f"[warn] int8 phase failed: {e}", file=sys.stderr)
+
     stream_vps = bench_jax(vols)
     cpu_vps = bench_cpu_reference(vols)
 
@@ -337,6 +384,10 @@ def main():
         "train_by_batch": train_by_batch,
         "best_infer_batch": best_infer_b,
         "best_train_batch": best_train_b,
+        "int8_volumes_per_sec": (round(int8_vps / n_chips, 2)
+                                 if int8_vps else None),
+        "int8_speedup": (round(int8_vps / hbm_vps, 2)
+                         if int8_vps and hbm_vps else None),
         "forward_gflops_per_volume": round(fwd_flops / 1e9, 1),
         "inference_mfu": round(mfu, 4) if mfu else None,
         "train_mfu_est": round(train_mfu, 4) if train_mfu else None,

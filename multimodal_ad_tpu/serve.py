@@ -103,13 +103,39 @@ class EnsemblePredictor:
         return cls(model, variables, batch_size=batch_size or cfg.batch_size,
                    normalizer=cfg.normalizer)
 
+    # ---- int8 serving ---------------------------------------------------
+
+    def quantize_int8(self, calibration_volumes, preprocess: bool = True):
+        """Convert the ensemble to int8 serving (models/resnet3d_int8.py:
+        BN-folded, per-channel int8 weights, static activation scales —
+        measured 1.65x over the bf16 graph at the production operating
+        point, benchmarks/ROOFLINE.md). `calibration_volumes` should be a
+        small set of REPRESENTATIVE volumes (same distribution as the
+        serving traffic); they pass through the same preprocessing as
+        predict. Returns self; subsequent predict/predict_proba use the
+        quantized folds. BasicBlock depths only (10/18/34)."""
+        from .models import resnet3d_int8 as q8
+
+        cal = self._prep(np.asarray(calibration_volumes, np.float32),
+                         preprocess)
+        self._int8_fns = []
+        for k in range(self.n_folds):
+            variables = jax.tree_util.tree_map(
+                lambda s, k=k: np.asarray(s[k]), self._stacked)
+            qp = q8.export_int8(variables, depth=self.model.depth,
+                                shortcut_type=self.model.shortcut_type)
+            scales = q8.calibrate_int8(qp, [jnp.asarray(cal)])
+
+            def fwd(x, qp=qp, scales=scales):
+                return jax.nn.softmax(
+                    q8.resnet3d_int8_apply(qp, scales, x), axis=-1)
+
+            self._int8_fns.append(jax.jit(fwd))
+        return self
+
     # ---- inference -----------------------------------------------------
 
-    def predict_proba(self, volumes, preprocess: bool = True) -> np.ndarray:
-        """(n, X, Y, Z) or (n, X, Y, Z, C) host volumes -> (n, C) fold-mean
-        probabilities. Requests are chunked/padded to the static batch so
-        any n reuses one compilation."""
-        vols = np.asarray(volumes, np.float32)
+    def _prep(self, vols: np.ndarray, preprocess: bool) -> np.ndarray:
         if preprocess:
             # multi-channel volumes normalize per channel (each channel is
             # an independent intensity distribution, e.g. MRI + PET)
@@ -120,9 +146,16 @@ class EnsemblePredictor:
                     [self.transform(v[..., c]) for c in range(v.shape[-1])],
                     axis=-1)
 
-            vols = np.stack([prep(v) for v in vols])
-        elif vols.ndim == 4:
-            vols = vols[..., None]
+            return np.stack([prep(v) for v in vols])
+        if vols.ndim == 4:
+            return vols[..., None]
+        return vols
+
+    def predict_proba(self, volumes, preprocess: bool = True) -> np.ndarray:
+        """(n, X, Y, Z) or (n, X, Y, Z, C) host volumes -> (n, C) fold-mean
+        probabilities. Requests are chunked/padded to the static batch so
+        any n reuses one compilation."""
+        vols = self._prep(np.asarray(volumes, np.float32), preprocess)
         n = vols.shape[0]
         bs = self.batch_size
         out = []
@@ -132,7 +165,12 @@ class EnsemblePredictor:
             if real < bs:  # static-shape pad; padded rows discarded below
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bs - real, axis=0)])
-            probs = np.asarray(self._fwd(self._stacked, jnp.asarray(chunk)))
+            xd = jnp.asarray(chunk)
+            if getattr(self, "_int8_fns", None):
+                probs = np.mean([np.asarray(f(xd)) for f in self._int8_fns],
+                                axis=0)
+            else:
+                probs = np.asarray(self._fwd(self._stacked, xd))
             out.append(probs[:real])
         return np.concatenate(out, axis=0)
 

@@ -33,9 +33,11 @@ def _trained_like_model(depth=10, shortcut="B", shape=(24, 28, 24), seed=0):
 
 
 class TestInt8Export:
+    @pytest.mark.slow  # ~30s on the 1-CPU box (two big-graph compiles)
     def test_folded_forward_matches_eval_mode(self):
         """BN folding + topology: the folded fp graph reproduces the flax
-        eval-mode forward (bf16-level tolerance)."""
+        eval-mode forward (bf16-level tolerance). The fast-tier smoke for
+        this property is test_shortcut_a_variant (smaller graphs)."""
         model, state, shape = _trained_like_model()
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.normal(size=(3, *shape, 1)), jnp.float32)
@@ -45,6 +47,7 @@ class TestInt8Export:
         assert ref.shape == fold.shape == (3, 2)
         np.testing.assert_allclose(fold, ref, atol=0.15, rtol=0.05)
 
+    @pytest.mark.slow  # ~14s on the 1-CPU box
     def test_int8_logits_track_fp(self):
         """Quantized logits stay close to fp and agree on argmax."""
         model, state, shape = _trained_like_model(seed=3)

@@ -108,6 +108,27 @@ class TestEnsemblePredictor:
         np.testing.assert_allclose(proba, pred8.predict_proba(vols),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_int8_quantized_serving(self, trained_ckpts):
+        """quantize_int8 converts the ensemble to int8 graphs; predictions
+        stay close to the bf16 ensemble's (argmax agreement on a trained
+        model) and the probability contract holds."""
+        from multimodal_ad_tpu.serve import EnsemblePredictor
+
+        cfg = trained_ckpts
+        rng = np.random.default_rng(5)
+        vols = np.stack([make_volume(rng, SHAPE, label=i % 2)
+                         for i in range(6)])
+        ref = EnsemblePredictor.from_checkpoint_dir(
+            cfg.checkpoint_dir, batch_size=8).predict_proba(vols)
+        pred = EnsemblePredictor.from_checkpoint_dir(cfg.checkpoint_dir,
+                                                     batch_size=8)
+        assert pred.quantize_int8(vols[:2]) is pred
+        q = pred.predict_proba(vols)
+        assert q.shape == (6, 2)
+        np.testing.assert_allclose(q.sum(1), 1.0, rtol=1e-5)
+        assert (q.argmax(1) == ref.argmax(1)).mean() >= 5 / 6
+        assert np.abs(q - ref).mean() < 0.08, (q, ref)
+
     def test_multichannel_volumes_preprocess(self):
         """A checkpoint trained with in_channels>1 must be servable with
         preprocess=True: every channel is normalized independently and kept
