@@ -1,4 +1,4 @@
-"""Post-training int8 inference for the 3D ResNet family (BasicBlock depths).
+"""Post-training int8 inference for the 3D ResNet family (all depths).
 
 v5e's MXU runs int8 at 2x the bf16 rate (394 TOPS vs 197 TFLOP/s), and the
 flagship's FLOPs concentrate in two dilated conv stages where the measured
@@ -63,16 +63,13 @@ def _quant_weight(w):
 
 
 def export_int8(variables, depth: int = 18, shortcut_type: str = "B"):
-    """Fold BN + quantize every stage conv of a trained BasicBlock ResNet3D.
+    """Fold BN + quantize every stage conv of a trained ResNet3D
+    (BasicBlock depths 10/18/34 and Bottleneck depths 50/101/152/200).
 
     Returns a host pytree ("qparams"): int8 kernels + per-channel scales +
     folded biases per block conv, bf16-path stem/head weights, and the
-    block geometry needed to rebuild the forward. Bottleneck depths are
-    not yet supported (the flagship family is BasicBlock)."""
+    block geometry needed to rebuild the forward."""
     kind, layers = DEPTH_BLOCKS[depth]
-    if kind != "basic":
-        raise NotImplementedError(
-            f"int8 export supports BasicBlock depths (10/18/34), got {depth}")
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
 
@@ -93,14 +90,16 @@ def export_int8(variables, depth: int = 18, shortcut_type: str = "B"):
     qp["stem"]["g"] = g.astype(np.float32)
     qp["stem"]["b"] = (bn_p["bias"] - bn_s["mean"] * g).astype(np.float32)
 
+    expansion = 1 if kind == "basic" else 4
+    prefix = "BasicBlock" if kind == "basic" else "Bottleneck"
     stage_spec = [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]
     bi_global = 0
     in_planes = 64
     for (planes, stride0, dilation), n_blocks in zip(stage_spec, layers):
         for bi in range(n_blocks):
             stride = stride0 if bi == 0 else 1
-            bp = params[f"BasicBlock_{bi_global}"]
-            bs = stats[f"BasicBlock_{bi_global}"]
+            bp = params[f"{prefix}_{bi_global}"]
+            bs = stats[f"{prefix}_{bi_global}"]
 
             def folded_q(j):
                 w, b = _fold_bn(bp[f"ConvBN_{j}"]["Conv_0"]["kernel"],
@@ -110,18 +109,22 @@ def export_int8(variables, depth: int = 18, shortcut_type: str = "B"):
                 return {"wq": wq, "s": s, "b": b,
                         "w_fp": w.astype(np.float32)}
 
-            block = {"stride": stride, "dilation": dilation,
-                     "planes": planes,
-                     "conv1": folded_q(0), "conv2": folded_q(1),
-                     "down": None}
-            needs_down = stride != 1 or in_planes != planes
+            out_planes = planes * expansion
+            block = {"kind": kind, "stride": stride, "dilation": dilation,
+                     "planes": out_planes, "down": None,
+                     "conv1": folded_q(0), "conv2": folded_q(1)}
+            n_main = 2
+            if kind == "bottleneck":
+                block["conv3"] = folded_q(2)
+                n_main = 3
+            needs_down = stride != 1 or in_planes != out_planes
             if needs_down and shortcut_type == "B":
-                block["down"] = folded_q(2)
+                block["down"] = folded_q(n_main)
             elif needs_down:  # shortcut A: parameter-free
                 block["down"] = "A"
             qp["blocks"].append(block)
             bi_global += 1
-            in_planes = planes
+            in_planes = out_planes
     return qp
 
 
@@ -187,49 +190,65 @@ def _shortcut_a(x, planes, stride):
     return x
 
 
+def _block_scale_keys(qp):
+    """Quant-point names per block, in the exact order _forward observes
+    them: input, first mid; Bottleneck blocks add a second mid."""
+    keys = []
+    for i, blk in enumerate(qp["blocks"]):
+        keys += [f"b{i}_in", f"b{i}_mid"]
+        if blk.get("kind", "basic") == "bottleneck":
+            keys.append(f"b{i}_mid2")
+    return keys
+
+
 def _forward(qp, scales, x, quantized: bool, observe: bool):
     """Shared folded forward. quantized=False runs the folded fp graph
     (used for calibration, observe=True collects per-point max|h|)."""
     h = _stem_bf16(qp, x)
     maxes = []
+
+    def qconv(inp, kd, stride, dil, ksize, s_act):
+        """One folded conv step -> fp pre-activation output.
+        `inp` is (int8 tensor, scale) when quantized else an fp tensor."""
+        if quantized:
+            o = _conv_i8(inp, jnp.asarray(kd["wq"]), stride, dil, ksize)
+            return o.astype(jnp.float32) * (s_act * kd["s"]) + kd["b"]
+        return _conv_fp(inp.astype(jnp.bfloat16),
+                        jnp.asarray(kd["w_fp"], jnp.bfloat16),
+                        stride, dil, ksize).astype(jnp.float32) + kd["b"]
+
     for i, blk in enumerate(qp["blocks"]):
-        k1 = blk["conv1"]
-        k2 = blk["conv2"]
         stride, dil = blk["stride"], blk["dilation"]
+        bneck = blk.get("kind", "basic") == "bottleneck"
         if observe:
             maxes.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
-        if quantized:
-            s_in = scales[f"b{i}_in"]
-            hq = _quantize(h, s_in)
-            a = _conv_i8(hq, jnp.asarray(k1["wq"]), stride, dil, 3)
-            a = a.astype(jnp.float32) * (s_in * k1["s"]) + k1["b"]
+        s_in = scales[f"b{i}_in"] if quantized else None
+        hq = _quantize(h, s_in) if quantized else h
+        # main path. BasicBlock: 3^3(stride,dil) -> relu -> 3^3(1,dil).
+        # Bottleneck: 1^3 -> relu -> 3^3(stride,dil) -> relu -> 1^3.
+        if bneck:
+            a = jax.nn.relu(qconv(hq, blk["conv1"], 1, 1, 1, s_in))
         else:
-            a = _conv_fp(h, jnp.asarray(k1["w_fp"], jnp.bfloat16),
-                         stride, dil, 3).astype(jnp.float32) + k1["b"]
-        a = jax.nn.relu(a)
+            a = jax.nn.relu(qconv(hq, blk["conv1"], stride, dil, 3, s_in))
         if observe:
             maxes.append(jnp.max(jnp.abs(a)))
-        if quantized:
-            s_mid = scales[f"b{i}_mid"]
-            aq = _quantize(a, s_mid)
-            o = _conv_i8(aq, jnp.asarray(k2["wq"]), 1, dil, 3)
-            o = o.astype(jnp.float32) * (s_mid * k2["s"]) + k2["b"]
+        s_mid = scales[f"b{i}_mid"] if quantized else None
+        aq = _quantize(a, s_mid) if quantized else a
+        if bneck:
+            a2 = jax.nn.relu(qconv(aq, blk["conv2"], stride, dil, 3, s_mid))
+            if observe:
+                maxes.append(jnp.max(jnp.abs(a2)))
+            s_mid2 = scales[f"b{i}_mid2"] if quantized else None
+            a2q = _quantize(a2, s_mid2) if quantized else a2
+            o = qconv(a2q, blk["conv3"], 1, 1, 1, s_mid2)
         else:
-            o = _conv_fp(a.astype(jnp.bfloat16),
-                         jnp.asarray(k2["w_fp"], jnp.bfloat16),
-                         1, dil, 3).astype(jnp.float32) + k2["b"]
+            o = qconv(aq, blk["conv2"], 1, dil, 3, s_mid)
         if blk["down"] is None:
             r = h.astype(jnp.float32)
         elif blk["down"] == "A":
             r = _shortcut_a(h.astype(jnp.float32), blk["planes"], stride)
         else:
-            kd = blk["down"]
-            if quantized:
-                r = _conv_i8(hq, jnp.asarray(kd["wq"]), stride, 1, 1)
-                r = r.astype(jnp.float32) * (s_in * kd["s"]) + kd["b"]
-            else:
-                r = _conv_fp(h, jnp.asarray(kd["w_fp"], jnp.bfloat16),
-                             stride, 1, 1).astype(jnp.float32) + kd["b"]
+            r = qconv(hq, blk["down"], stride, 1, 1, s_in)
         h = jax.nn.relu(o + r).astype(jnp.bfloat16)
     pooled = jnp.mean(h.astype(jnp.float32), axis=(1, 2, 3))
     if qp["dense"] is None:
@@ -248,11 +267,8 @@ def calibrate_int8(qp, batches) -> dict:
         _, maxes = fwd(x=jnp.asarray(x))
         m = np.asarray(jax.device_get(maxes), np.float64)
         agg = m if agg is None else np.maximum(agg, m)
-    scales = {}
-    for i in range(len(qp["blocks"])):
-        scales[f"b{i}_in"] = float(agg[2 * i] / 127.0 + 1e-12)
-        scales[f"b{i}_mid"] = float(agg[2 * i + 1] / 127.0 + 1e-12)
-    return scales
+    return {k: float(v / 127.0 + 1e-12)
+            for k, v in zip(_block_scale_keys(qp), agg)}
 
 
 def resnet3d_int8_apply(qp, scales, x):

@@ -76,9 +76,26 @@ class TestInt8Export:
         fold = np.asarray(resnet3d_folded_apply(qp, x), np.float32)
         np.testing.assert_allclose(fold, ref, atol=0.15, rtol=0.05)
 
-    def test_bottleneck_unsupported(self):
-        with pytest.raises(NotImplementedError):
-            export_int8({"params": {}, "batch_stats": {}}, depth=50)
+    @pytest.mark.slow  # depth-50 has 16 Bottleneck blocks: big CPU compile
+    def test_bottleneck_folded_forward(self):
+        """Bottleneck export (1^3 -> 3^3 -> 1^3 + downsample at ConvBN_3):
+        the folded graph reproduces the flax eval-mode forward."""
+        model, state, shape = _trained_like_model(depth=50, seed=9,
+                                                  shape=(16, 20, 16))
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(2, *shape, 1)), jnp.float32)
+        qp = export_int8(state, depth=50)
+        assert all(b["kind"] == "bottleneck" for b in qp["blocks"])
+        assert "conv3" in qp["blocks"][0]
+        ref = np.asarray(model.apply(state, x, train=False), np.float32)
+        fold = np.asarray(resnet3d_folded_apply(qp, x), np.float32)
+        np.testing.assert_allclose(fold, ref, atol=0.2, rtol=0.05)
+        # the quantized bottleneck graph runs and tracks fp
+        cal = [jnp.asarray(rng.normal(size=(2, *shape, 1)), jnp.float32)]
+        scales = calibrate_int8(qp, cal)
+        q8 = np.asarray(resnet3d_int8_apply(qp, scales, x), np.float32)
+        spread = np.abs(ref).max() + 1e-6
+        assert np.abs(q8 - ref).max() / spread < 0.3, (ref, q8)
 
     def test_weight_quantization_is_per_channel(self):
         model, state, shape = _trained_like_model(seed=7)
