@@ -283,3 +283,75 @@ def resnet3d_folded_apply(qp, x):
     quantization-free twin used to validate folding and by calibration."""
     logits, _ = _forward(qp, None, x, quantized=False, observe=False)
     return logits
+
+
+def save_int8(path: str, qp, scales: dict) -> str:
+    """Persist a quantized model (one .npz): int8 kernels, per-channel
+    weight scales, folded biases, stem/head weights, block geometry, and
+    the calibrated activation scales — so serving processes load the
+    artifact instead of re-exporting + re-calibrating. The fp shadow
+    kernels (`w_fp`, used only for calibration) are NOT saved: the int8
+    artifact is ~4x smaller than the fp checkpoint."""
+    import json
+
+    arrays = {"stem_kernel": qp["stem"]["kernel"],
+              "stem_g": qp["stem"]["g"], "stem_b": qp["stem"]["b"]}
+    geom = {"shortcut_type": qp["shortcut_type"],
+            "has_dense": qp["dense"] is not None,
+            "scales": scales, "blocks": []}
+    if qp["dense"] is not None:
+        arrays["dense_kernel"] = np.asarray(qp["dense"]["kernel"])
+        arrays["dense_bias"] = np.asarray(qp["dense"]["bias"])
+    for i, blk in enumerate(qp["blocks"]):
+        names = ["conv1", "conv2"] + (
+            ["conv3"] if blk.get("kind", "basic") == "bottleneck" else [])
+        down = blk["down"]
+        if isinstance(down, dict):
+            names.append("down")
+        for name in names:
+            kd = blk[name] if name != "down" else down
+            arrays[f"b{i}_{name}_wq"] = kd["wq"]
+            arrays[f"b{i}_{name}_s"] = kd["s"]
+            arrays[f"b{i}_{name}_b"] = kd["b"]
+        geom["blocks"].append({
+            "kind": blk.get("kind", "basic"), "stride": blk["stride"],
+            "dilation": blk["dilation"], "planes": blk["planes"],
+            "down": ("conv" if isinstance(down, dict) else down)})
+    np.savez_compressed(path, __geometry__=json.dumps(geom), **arrays)
+    return path
+
+
+def load_int8(path: str):
+    """Load a `save_int8` artifact -> (qparams, activation scales).
+    The returned qparams run `resnet3d_int8_apply` directly (no fp shadow
+    kernels, so `resnet3d_folded_apply`/`calibrate_int8` need the original
+    checkpoint instead)."""
+    import json
+
+    z = np.load(path, allow_pickle=False)
+    geom = json.loads(str(z["__geometry__"]))
+    qp = {"shortcut_type": geom["shortcut_type"],
+          "stem": {"kernel": z["stem_kernel"], "g": z["stem_g"],
+                   "b": z["stem_b"]},
+          "dense": ({"kernel": z["dense_kernel"], "bias": z["dense_bias"]}
+                    if geom["has_dense"] else None),
+          "blocks": []}
+    for i, g in enumerate(geom["blocks"]):
+        blk = {"kind": g["kind"], "stride": g["stride"],
+               "dilation": g["dilation"], "planes": g["planes"],
+               "down": None}
+        names = ["conv1", "conv2"] + (
+            ["conv3"] if g["kind"] == "bottleneck" else [])
+        if g["down"] == "conv":
+            names.append("down")
+        elif g["down"] == "A":
+            blk["down"] = "A"
+        for name in names:
+            kd = {"wq": z[f"b{i}_{name}_wq"], "s": z[f"b{i}_{name}_s"],
+                  "b": z[f"b{i}_{name}_b"]}
+            if name == "down":
+                blk["down"] = kd
+            else:
+                blk[name] = kd
+        qp["blocks"].append(blk)
+    return qp, dict(geom["scales"])

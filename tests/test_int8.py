@@ -97,6 +97,34 @@ class TestInt8Export:
         spread = np.abs(ref).max() + 1e-6
         assert np.abs(q8 - ref).max() / spread < 0.3, (ref, q8)
 
+    @pytest.mark.slow  # export + calibrate + 2 quantized graphs (~45s)
+    def test_save_load_roundtrip(self, tmp_path):
+        """save_int8/load_int8: the reloaded artifact produces IDENTICAL
+        int8 logits (the graph is fully determined by the saved tensors),
+        and the artifact is much smaller than the fp parameters."""
+        import os
+
+        from multimodal_ad_tpu.models.resnet3d_int8 import (load_int8,
+                                                            save_int8)
+
+        model, state, shape = _trained_like_model(seed=11)
+        rng = np.random.default_rng(10)
+        cal = [jnp.asarray(rng.normal(size=(2, *shape, 1)), jnp.float32)]
+        qp = export_int8(state, depth=10)
+        scales = calibrate_int8(qp, cal)
+        x = jnp.asarray(rng.normal(size=(3, *shape, 1)), jnp.float32)
+        ref = np.asarray(resnet3d_int8_apply(qp, scales, x))
+
+        path = save_int8(str(tmp_path / "model_int8.npz"), qp, scales)
+        qp2, scales2 = load_int8(path)
+        assert scales2 == scales
+        out = np.asarray(resnet3d_int8_apply(qp2, scales2, x))
+        np.testing.assert_array_equal(out, ref)
+        # int8 artifact beats the fp param footprint by ~4x
+        fp_bytes = sum(a.size * 4 for a in
+                       jax.tree_util.tree_leaves(state["params"]))
+        assert os.path.getsize(path) < fp_bytes / 2
+
     def test_weight_quantization_is_per_channel(self):
         model, state, shape = _trained_like_model(seed=7)
         qp = export_int8(state, depth=10)
