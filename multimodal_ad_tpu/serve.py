@@ -40,15 +40,29 @@ def _stack_trees(trees):
 
 
 class EnsemblePredictor:
-    """Fold-ensemble classifier over 3D volumes (one vmapped executable)."""
+    """Fold-ensemble classifier over 3D volumes (one vmapped executable).
+
+    Pass `mesh` (jax.sharding.Mesh with a 'data' axis) to shard each
+    request batch over the mesh's devices: parameters replicate, the batch
+    dimension splits, and GSPMD inserts the (absent — inference has no
+    collectives) communication. `batch_size` must then be divisible by the
+    data-axis size."""
 
     def __init__(self, model, fold_variables: list, batch_size: int = 8,
-                 normalizer: str = "scale_intensity"):
+                 normalizer: str = "scale_intensity", mesh=None):
         self.model = model
         self.n_folds = len(fold_variables)
         self.batch_size = int(batch_size)
         self.transform = VolumeTransform(augment=False, normalizer=normalizer)
         self._stacked = _stack_trees(fold_variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicate
+            if self.batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size={self.batch_size} not divisible by the "
+                    f"mesh data axis ({mesh.shape['data']})")
+            self._stacked = replicate(self._stacked, mesh)
 
         def one_fold(variables, x):
             return jax.nn.softmax(
@@ -65,7 +79,7 @@ class EnsemblePredictor:
     @classmethod
     def from_checkpoint_dir(cls, ckpt_dir: str, cfg: Config | None = None,
                             prefix: str = "best_fold",
-                            batch_size: int | None = None):
+                            batch_size: int | None = None, mesh=None):
         """Load every `{prefix}{k}` checkpoint (k = 1..) from a train_cv
         output directory. The training config is recovered from the
         checkpoints' meta.json unless `cfg` is given."""
@@ -101,7 +115,7 @@ class EnsemblePredictor:
             variables.append({"params": state.params,
                               "batch_stats": state.batch_stats})
         return cls(model, variables, batch_size=batch_size or cfg.batch_size,
-                   normalizer=cfg.normalizer)
+                   normalizer=cfg.normalizer, mesh=mesh)
 
     # ---- int8 serving ---------------------------------------------------
 
@@ -165,7 +179,11 @@ class EnsemblePredictor:
             if real < bs:  # static-shape pad; padded rows discarded below
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bs - real, axis=0)])
-            xd = jnp.asarray(chunk)
+            if self.mesh is not None:
+                from .parallel.mesh import data_sharding
+                xd = jax.device_put(chunk, data_sharding(self.mesh))
+            else:
+                xd = jnp.asarray(chunk)
             if getattr(self, "_int8_fns", None):
                 probs = np.mean([np.asarray(f(xd)) for f in self._int8_fns],
                                 axis=0)

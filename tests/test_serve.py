@@ -108,6 +108,30 @@ class TestEnsemblePredictor:
         np.testing.assert_allclose(proba, pred8.predict_proba(vols),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_mesh_sharded_serving(self, trained_ckpts):
+        """mesh= shards each request batch over the data axis (parameters
+        replicated); results must equal single-device serving exactly, and
+        a batch size that does not divide the axis is rejected."""
+        from multimodal_ad_tpu.parallel.mesh import make_mesh
+        from multimodal_ad_tpu.serve import EnsemblePredictor
+
+        cfg = trained_ckpts
+        mesh = make_mesh({"data": -1})
+        rng = np.random.default_rng(7)
+        vols = np.stack([make_volume(rng, SHAPE, label=i % 2)
+                         for i in range(8)])
+        single = EnsemblePredictor.from_checkpoint_dir(
+            cfg.checkpoint_dir, batch_size=8).predict_proba(vols)
+        sharded = EnsemblePredictor.from_checkpoint_dir(
+            cfg.checkpoint_dir, batch_size=8, mesh=mesh)
+        proba = sharded.predict_proba(vols)
+        np.testing.assert_allclose(proba, single, rtol=1e-4, atol=1e-5)
+        if mesh.shape["data"] > 1:
+            with pytest.raises(ValueError):
+                EnsemblePredictor.from_checkpoint_dir(
+                    cfg.checkpoint_dir, batch_size=mesh.shape["data"] + 1,
+                    mesh=mesh)
+
     def test_int8_quantized_serving(self, trained_ckpts):
         """quantize_int8 converts the ensemble to int8 graphs; predictions
         stay close to the bf16 ensemble's (argmax agreement on a trained
