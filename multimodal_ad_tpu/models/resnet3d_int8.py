@@ -253,8 +253,10 @@ def _forward(qp, scales, x, quantized: bool, observe: bool):
     pooled = jnp.mean(h.astype(jnp.float32), axis=(1, 2, 3))
     if qp["dense"] is None:
         return pooled, maxes
-    logits = pooled @ np.asarray(qp["dense"]["kernel"], np.float32) \
-        + np.asarray(qp["dense"]["bias"], np.float32)
+    # jnp (not np) so qp array leaves may be tracers — the serving path
+    # vmaps one compiled graph over stacked fold parameters
+    logits = pooled @ jnp.asarray(qp["dense"]["kernel"], jnp.float32) \
+        + jnp.asarray(qp["dense"]["bias"], jnp.float32)
     return logits, maxes
 
 
@@ -267,8 +269,64 @@ def calibrate_int8(qp, batches) -> dict:
         _, maxes = fwd(x=jnp.asarray(x))
         m = np.asarray(jax.device_get(maxes), np.float64)
         agg = m if agg is None else np.maximum(agg, m)
+    if agg is None:
+        raise ValueError("calibrate_int8 got no calibration batches — pass "
+                         "at least one (n, X, Y, Z, C) array")
     return {k: float(v / 127.0 + 1e-12)
             for k, v in zip(_block_scale_keys(qp), agg)}
+
+
+def observe_maxes(qp, x):
+    """Traced-friendly calibration observer: folded-fp forward returning
+    the per-quant-point max|h| vector (stackable, vmap-able over folds)."""
+    _, maxes = _forward(qp, None, x, quantized=False, observe=True)
+    return jnp.stack(maxes)
+
+
+def strip_fp(qp):
+    """Drop the fp shadow kernels (calibration-only) so serving-side
+    stacking/upload carries just the int8 tensors + scales + biases."""
+    def walk(o):
+        if isinstance(o, dict):
+            return {k: walk(v) for k, v in o.items() if k != "w_fp"}
+        if isinstance(o, list):
+            return [walk(v) for v in o]
+        return o
+
+    return walk(qp)
+
+
+def split_arrays(qp):
+    """(skeleton, array leaves) — every np.ndarray leaf becomes an indexed
+    placeholder so fold-stacked arrays can be vmapped through ONE compiled
+    graph (weights as traced args, not per-fold HLO constants)."""
+    arrays = []
+
+    def walk(o):
+        if isinstance(o, np.ndarray):
+            arrays.append(o)
+            return ("__arr__", len(arrays) - 1)
+        if isinstance(o, dict):
+            return {k: walk(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [walk(v) for v in o]
+        return o
+
+    return walk(qp), arrays
+
+
+def rehydrate(skeleton, arrays):
+    """Inverse of split_arrays (arrays may be traced jnp values)."""
+    def walk(o):
+        if isinstance(o, tuple) and len(o) == 2 and o[0] == "__arr__":
+            return arrays[o[1]]
+        if isinstance(o, dict):
+            return {k: walk(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [walk(v) for v in o]
+        return o
+
+    return walk(skeleton)
 
 
 def resnet3d_int8_apply(qp, scales, x):

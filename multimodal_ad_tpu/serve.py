@@ -127,24 +127,56 @@ class EnsemblePredictor:
         small set of REPRESENTATIVE volumes (same distribution as the
         serving traffic); they pass through the same preprocessing as
         predict. Returns self; subsequent predict/predict_proba use the
-        quantized folds. BasicBlock depths only (10/18/34)."""
+        quantized folds. Supports every ResNet3D depth (BasicBlock and
+        Bottleneck families).
+
+        Like the bf16 path, all folds run through ONE compiled executable:
+        fold parameters are stacked and passed as traced arguments (not
+        baked per-fold HLO constants), vmapped, and fold-averaged on
+        device — one compile and one dispatch per chunk regardless of K.
+        Calibration likewise observes all folds in a single vmapped
+        folded-fp forward."""
         from .models import resnet3d_int8 as q8
 
-        cal = self._prep(np.asarray(calibration_volumes, np.float32),
-                         preprocess)
-        self._int8_fns = []
+        cal = jnp.asarray(self._prep(
+            np.asarray(calibration_volumes, np.float32), preprocess))
+        qps = []
         for k in range(self.n_folds):
             variables = jax.tree_util.tree_map(
                 lambda s, k=k: np.asarray(s[k]), self._stacked)
-            qp = q8.export_int8(variables, depth=self.model.depth,
-                                shortcut_type=self.model.shortcut_type)
-            scales = q8.calibrate_int8(qp, [jnp.asarray(cal)])
+            qps.append(q8.export_int8(variables, depth=self.model.depth,
+                                      shortcut_type=self.model.shortcut_type))
 
-            def fwd(x, qp=qp, scales=scales):
-                return jax.nn.softmax(
-                    q8.resnet3d_int8_apply(qp, scales, x), axis=-1)
+        # calibration: one vmapped observe pass over all folds
+        cal_skel, _ = q8.split_arrays(qps[0])
+        cal_stack = [jnp.asarray(np.stack(a)) for a in zip(
+            *(q8.split_arrays(qp)[1] for qp in qps))]
 
-            self._int8_fns.append(jax.jit(fwd))
+        def observe_one(arrs, x):
+            return q8.observe_maxes(q8.rehydrate(cal_skel, arrs), x)
+
+        maxes = np.asarray(jax.jit(jax.vmap(observe_one, in_axes=(0, None))
+                                   )(cal_stack, cal))  # (K, P)
+        keys = q8._block_scale_keys(qps[0])
+        fold_scales = maxes / 127.0 + 1e-12
+
+        # serving: fp shadow kernels stripped, int8 arrays stacked
+        skel, _ = q8.split_arrays(q8.strip_fp(qps[0]))
+        stacked = [jnp.asarray(np.stack(a)) for a in zip(
+            *(q8.split_arrays(q8.strip_fp(qp))[1] for qp in qps))]
+        svecs = jnp.asarray(fold_scales, jnp.float32)  # (K, P)
+
+        def fold_proba(arrs, svec, x):
+            qp = q8.rehydrate(skel, arrs)
+            scales = {key: svec[j] for j, key in enumerate(keys)}
+            return jax.nn.softmax(
+                q8.resnet3d_int8_apply(qp, scales, x), axis=-1)
+
+        self._int8_args = (stacked, svecs)
+        self._int8_fwd = jax.jit(
+            lambda arrs, sv, x: jnp.mean(
+                jax.vmap(fold_proba, in_axes=(0, 0, None))(arrs, sv, x),
+                axis=0))
         return self
 
     # ---- inference -----------------------------------------------------
@@ -184,9 +216,8 @@ class EnsemblePredictor:
                 xd = jax.device_put(chunk, data_sharding(self.mesh))
             else:
                 xd = jnp.asarray(chunk)
-            if getattr(self, "_int8_fns", None):
-                probs = np.mean([np.asarray(f(xd)) for f in self._int8_fns],
-                                axis=0)
+            if getattr(self, "_int8_fwd", None):
+                probs = np.asarray(self._int8_fwd(*self._int8_args, xd))
             else:
                 probs = np.asarray(self._fwd(self._stacked, xd))
             out.append(probs[:real])

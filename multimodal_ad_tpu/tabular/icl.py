@@ -481,15 +481,13 @@ def _load_params_file(cfg: ICLConfig, path: str):
 
 def load_default_params(cfg: ICLConfig):
     """Meta-trained weights for `cfg` under the `resolve_asset_params`
-    policy; None when no asset applies (the estimator self-pretrains)."""
-    import os
-
-    bundled = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "assets", "icl_default.msgpack")
+    policy; None when no asset applies (the estimator self-pretrains).
+    (default_asset_path() consults MAD_ICL_ASSET too, but resolve's env
+    branch fires first, so the bundled argument only ever reads the
+    bundled location.)"""
     return resolve_asset_params(
-        lambda p: _load_params_file(cfg, p), "MAD_ICL_ASSET", bundled,
-        cfg == ICLConfig(), f"ICLConfig {cfg}")
+        lambda p: _load_params_file(cfg, p), "MAD_ICL_ASSET",
+        default_asset_path(), cfg == ICLConfig(), f"ICLConfig {cfg}")
 
 
 class FeaturePreprocessMixin:
@@ -629,7 +627,8 @@ class FeaturePreprocessMixin:
             pos = np.searchsorted(ref, prod, side="left") + 0.5
             cols.append(norm.ppf(np.clip(pos / (len(ref) + 1), 1e-4,
                                          1 - 1e-4)).astype(np.float32)[:, None])
-            cols.append(np.sign(prod).astype(np.float32)[:, None])
+            if i != j:  # sign(z^2) is constant 1 — dead column for squares
+                cols.append(np.sign(prod).astype(np.float32)[:, None])
         return np.concatenate(cols, axis=1)
 
     @staticmethod
@@ -883,6 +882,16 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
             fp.append(p)
             cp.append(rng.permutation(k))
         self._views = (np.stack(fp), np.stack(cp))
+        # the permuted CONTEXT views are fit-time constants: build and
+        # upload them once here, so predict calls only permute the queries
+        x_ctx = self._fitted["x_ctx"][0]
+        y_ctx = self._fitted["y_ctx"][0]
+        mask = self._fitted["ctx_mask"][0]
+        self._views_dev = (
+            jnp.asarray(np.stack([x_ctx[:, p] for p in fp])),
+            jnp.asarray(np.stack([c[y_ctx] for c in cp]).astype(np.int32)),
+            jnp.asarray(np.ascontiguousarray(
+                np.broadcast_to(mask, (V, mask.shape[0])))))
         return self
 
     # one compiled forward per config, shared across instances/clones
@@ -911,18 +920,15 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
             raise RuntimeError("fit() first")
         params = self._ensure_params()
         fp, cp = self._views
-        V, k = len(fp), len(self.classes_)
+        V = len(fp)
         Xq = self._pad_features(self._apply_preprocess(X))
-        x_ctx = self._fitted["x_ctx"][0]
-        y_ctx = self._fitted["y_ctx"][0]
-        mask = np.broadcast_to(self._fitted["ctx_mask"][0],
-                               (V, x_ctx.shape[0]))
-        # cp maps canonical class index -> label-embedding row; padded
-        # context rows map through cp too but their keys are masked out
+        # context views were built + uploaded once at fit time (cp maps
+        # canonical class index -> label-embedding row; padded context rows
+        # map through cp too but their keys are masked out); only the
+        # query views are per-call work
+        x_ctx_v, y_ctx_v, mask_v = self._views_dev
         logits, q_emb, _ = self._forward(
-            params, jnp.asarray(np.stack([x_ctx[:, p] for p in fp])),
-            jnp.asarray(np.stack([c[y_ctx] for c in cp]).astype(np.int32)),
-            jnp.asarray(np.ascontiguousarray(mask)),
+            params, x_ctx_v, y_ctx_v, mask_v,
             jnp.asarray(np.stack([Xq[:, p] for p in fp])))
         logits = np.asarray(logits)
         canon = np.stack([logits[v][:, cp[v]] for v in range(V)])

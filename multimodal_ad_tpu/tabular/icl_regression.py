@@ -232,13 +232,9 @@ def load_default_reg_params(cfg: RegICLConfig):
     shared `resolve_asset_params` policy (one source of truth): dangling
     MAD_ICL_REG_ASSET or a shape mismatch raises; None when no asset
     applies (the estimator self-pretrains)."""
-    import os
-
     from .icl import resolve_asset_params
 
-    bundled = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "assets", "icl_regression_default.msgpack")
     return resolve_asset_params(
         lambda p: _load_reg_params_file(cfg, p), "MAD_ICL_REG_ASSET",
-        bundled, cfg == RegICLConfig(), f"RegICLConfig {cfg}")
+        default_reg_asset_path(), cfg == RegICLConfig(),
+        f"RegICLConfig {cfg}")

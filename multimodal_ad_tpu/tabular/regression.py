@@ -185,6 +185,16 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
             p[:f_real] = rng.permutation(f_real)
             fp.append(p)
         self._views = np.stack(fp)
+        # permuted context views are fit-time constants: build + upload once
+        import jax.numpy as jnp
+
+        x_ctx = self._fitted["x_ctx"][0]
+        self._views_dev = (
+            jnp.asarray(np.stack([x_ctx[:, p] for p in fp])),
+            jnp.asarray(np.ascontiguousarray(np.broadcast_to(
+                self._fitted["y_ctx"][0], (V, x_ctx.shape[0])))),
+            jnp.asarray(np.ascontiguousarray(np.broadcast_to(
+                self._fitted["ctx_mask"][0], (V, x_ctx.shape[0])))))
         return self
 
     def _bar_probs(self, X):
@@ -196,17 +206,12 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
             raise RuntimeError("fit() first")
         params = self._ensure_params()
         fp = self._views
-        V = len(fp)
         Xq = self._pad_features(self._apply_preprocess(X))
-        x_ctx = self._fitted["x_ctx"][0]
-        mask = np.broadcast_to(self._fitted["ctx_mask"][0],
-                               (V, x_ctx.shape[0]))
-        y_ctx = np.broadcast_to(self._fitted["y_ctx"][0],
-                                (V, x_ctx.shape[0]))
+        # context views were built + uploaded once at fit time; only the
+        # query views are per-call work
+        x_ctx_v, y_ctx_v, mask_v = self._views_dev
         logits, q_emb, _ = self._forward(
-            params, jnp.asarray(np.stack([x_ctx[:, p] for p in fp])),
-            jnp.asarray(np.ascontiguousarray(y_ctx)),
-            jnp.asarray(np.ascontiguousarray(mask)),
+            params, x_ctx_v, y_ctx_v, mask_v,
             jnp.asarray(np.stack([Xq[:, p] for p in fp])))
         logits = np.asarray(logits, np.float64)  # (V, M, n_bins)
         logits = logits / max(float(self.softmax_temperature), 1e-6)
