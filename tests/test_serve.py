@@ -132,6 +132,27 @@ class TestEnsemblePredictor:
                     cfg.checkpoint_dir, batch_size=mesh.shape["data"] + 1,
                     mesh=mesh)
 
+    def test_mesh_plus_int8(self, trained_ckpts):
+        """The mesh and int8 options compose: a sharded request batch
+        through the vmapped quantized ensemble (GSPMD replicates the
+        int8 fold stack) matches unsharded int8 serving."""
+        from multimodal_ad_tpu.parallel.mesh import make_mesh
+        from multimodal_ad_tpu.serve import EnsemblePredictor
+
+        cfg = trained_ckpts
+        rng = np.random.default_rng(9)
+        vols = np.stack([make_volume(rng, SHAPE, label=i % 2)
+                         for i in range(8)])
+        plain = EnsemblePredictor.from_checkpoint_dir(
+            cfg.checkpoint_dir, batch_size=8)
+        plain.quantize_int8(vols[:2])
+        ref = plain.predict_proba(vols)
+        meshed = EnsemblePredictor.from_checkpoint_dir(
+            cfg.checkpoint_dir, batch_size=8, mesh=make_mesh({"data": -1}))
+        meshed.quantize_int8(vols[:2])
+        np.testing.assert_allclose(meshed.predict_proba(vols), ref,
+                                   rtol=1e-4, atol=1e-5)
+
     def test_int8_quantized_serving(self, trained_ckpts):
         """quantize_int8 converts the ensemble to int8 graphs; predictions
         stay close to the bf16 ensemble's (argmax agreement on a trained
