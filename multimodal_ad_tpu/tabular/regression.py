@@ -369,6 +369,9 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
             "seed": int(rng.integers(0, 10_000)),
             "preprocess": [None, None, "quantile", "whiten", "pairs"][
                 int(rng.integers(0, 5))],
+            # permuted-view count (the classifier HPO space's n_estimators
+            # dimension); _make only applies it when the base exposes it
+            "n_estimators": int(rng.choice([1, 4, 8])),
         } for _ in range(self.n_trials)]
         for trial in trials:
             scores = []
@@ -395,7 +398,8 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
             return ICLRegressor()
         return ICLRegressor(softmax_temperature=trial["softmax_temperature"],
                             seed=trial["seed"],
-                            preprocess=trial.get("preprocess"))
+                            preprocess=trial.get("preprocess"),
+                            n_estimators=trial.get("n_estimators", 8))
 
     def predict(self, X):
         return self.best_estimator_.predict(X)
