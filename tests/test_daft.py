@@ -27,7 +27,8 @@ class TestDAFT:
         out, _ = init_apply(model, img, tab)
         assert out.shape == (2, 2)
 
-    def test_table_modulates_output(self):
+    @pytest.mark.slow  # full-model compile ~27s on the 1-CPU box; the fast
+    def test_table_modulates_output(self):  # smoke is the identity test below
         """Different tabular vectors must change the prediction (the whole
         point of the affine conditioning)."""
         model = DAFTResNet(num_classes=2, dtype=jnp.float32)

@@ -48,15 +48,16 @@ class TestDenseNet:
         assert out.shape == (1, 2)
 
     def test_dense_growth_arithmetic(self):
-        """After block 1 (2 layers, g=4): 8+8=16 -> transition 8 channels."""
+        """After block 1 (2 layers, g=4): 8+8=16 -> transition 8 channels.
+        Shape-only: eval_shape avoids the init compile (fast tier)."""
         x = jnp.zeros((1, 16, 16, 16, 1))
-        variables = init_vars(SMALL, x)
+        variables = jax.eval_shape(lambda: init_vars(SMALL, x))
         trans_conv = variables["params"]["Transition_0"]["Conv_0"]["kernel"]
         assert trans_conv.shape[-2:] == (16, 8)
 
     def test_depthwise_bottleneck(self):
         x = jnp.zeros((1, 16, 16, 16, 1))
-        variables = init_vars(SMALL, x)
+        variables = jax.eval_shape(lambda: init_vars(SMALL, x))
         dw = variables["params"]["DenseLayer_0"]["Conv_1"]["kernel"]
         # depthwise: input-channel dim is 1 (feature_group_count == channels)
         assert dw.shape == (3, 3, 3, 1, 16)  # bottleneck = 4*growth = 16

@@ -43,13 +43,15 @@ class TestIncidence:
 
 class TestMSHyper:
     def test_forecast_shapes(self):
+        # shape-only via eval_shape (the attention variant's compile is
+        # ~11s on 1 CPU); numerics run fast in test_instance_norm_denorm
+        # and with attention in the slow test_learns_persistence
         model = MSHyperModel(seq_len=16, pred_len=4, channels=3, d_model=16)
         x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 3)),
                         jnp.float32)
-        variables = model.init(jax.random.PRNGKey(0), x)
-        out = model.apply(variables, x)
+        variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+        out = jax.eval_shape(model.apply, variables, x)
         assert out.shape == (2, 4, 3)
-        assert np.isfinite(np.asarray(out)).all()
 
     def test_instance_norm_denorm(self):
         """Scaling the input scales the forecast (instance-norm round trip)."""

@@ -65,6 +65,7 @@ class TestInt8Export:
         assert np.abs(q8 - fp).max() / spread < 0.25, (fp, q8)
         assert (q8.argmax(1) == fp.argmax(1)).mean() >= 0.75
 
+    @pytest.mark.slow  # two graph compiles ~27s on the 1-CPU box
     def test_shortcut_a_variant(self):
         """Shortcut-A (parameter-free) blocks export and run."""
         model, state, shape = _trained_like_model(shortcut="A", seed=5)
@@ -126,7 +127,15 @@ class TestInt8Export:
         assert os.path.getsize(path) < fp_bytes / 2
 
     def test_weight_quantization_is_per_channel(self):
-        model, state, shape = _trained_like_model(seed=7)
+        # export_int8 is pure numpy over the state: fresh init params are
+        # enough here, skipping _trained_like_model's train-mode compile
+        # (~25s on 1 CPU) keeps this the family's fast-tier smoke
+        model = ResNet3D(depth=10, num_classes=2, dropout_rate=0.0)
+        rng = np.random.default_rng(7)
+        x0 = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(7), x0, train=False)
+        state = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
         qp = export_int8(state, depth=10)
         blk = qp["blocks"][0]
         assert blk["conv1"]["wq"].dtype == np.int8

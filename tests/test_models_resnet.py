@@ -20,6 +20,13 @@ def init_and_apply(model, x, train=False):
     return out, variables
 
 
+def shapes_of(model, x, train=False):
+    """init_and_apply under jax.eval_shape: shape/param-layout assertions
+    without paying the 1-CPU compile (keeps shape-only tests in the fast
+    tier); numeric fast smokes stay on init_and_apply."""
+    return jax.eval_shape(lambda: init_and_apply(model, x, train=train))
+
+
 SMALL = (1, 20, 24, 20, 1)
 
 
@@ -29,7 +36,7 @@ class TestResNet3D:
         model = generate_model(model_depth=depth, nb_class=2,
                                compute_dtype=jnp.float32)
         x = jnp.zeros(SMALL)
-        out, _ = init_and_apply(model, x)
+        out, _ = shapes_of(model, x)
         assert out.shape == (1, 2)
         assert out.dtype == jnp.float32
 
@@ -47,7 +54,7 @@ class TestResNet3D:
     def test_fc_in_map_basic(self):
         for depth in (10, 18):
             model = generate_model(model_depth=depth, compute_dtype=jnp.float32)
-            _, variables = init_and_apply(model, jnp.zeros(SMALL))
+            _, variables = shapes_of(model, jnp.zeros(SMALL))
             dense = [v for k, v in variables["params"].items() if "Dense" in k][0]
             assert dense["kernel"].shape[0] == FC_IN[depth]
 
@@ -56,19 +63,19 @@ class TestResNet3D:
         layer4 output spatial = input/8 (stem /2, pool /2, stage2 /2)."""
         model = image_encoder(depth=10, global_pool=False, dtype=jnp.float32)
         x = jnp.zeros((1, 32, 32, 32, 1))
-        out, _ = init_and_apply(model, x)
+        out, _ = shapes_of(model, x)
         assert out.shape == (1, 4, 4, 4, 512)
 
     def test_encoder_global_pool(self):
         model = image_encoder(depth=18, global_pool=True, dtype=jnp.float32)
-        out, _ = init_and_apply(model, jnp.zeros(SMALL))
+        out, _ = shapes_of(model, jnp.zeros(SMALL))
         assert out.shape == (1, 512)
 
     def test_shortcut_a_has_no_downsample_params(self):
         ma = ResNet3D(depth=10, shortcut_type="A", dtype=jnp.float32)
         mb = ResNet3D(depth=10, shortcut_type="B", dtype=jnp.float32)
-        _, va = init_and_apply(ma, jnp.zeros(SMALL))
-        _, vb = init_and_apply(mb, jnp.zeros(SMALL))
+        _, va = shapes_of(ma, jnp.zeros(SMALL))
+        _, vb = shapes_of(mb, jnp.zeros(SMALL))
         na = sum(x.size for x in jax.tree_util.tree_leaves(va["params"]))
         nb = sum(x.size for x in jax.tree_util.tree_leaves(vb["params"]))
         assert na < nb  # 'A' shortcut is parameter-free (resnet.py:26-37)
@@ -77,13 +84,14 @@ class TestResNet3D:
         model = ResNet3D(depth=10, head="seg", num_seg_classes=1,
                          dtype=jnp.float32)
         x = jnp.zeros((1, 32, 32, 32, 1))
-        out, _ = init_and_apply(model, x)
+        out, _ = shapes_of(model, x)
         # conv_seg upsamples layer4 (/8) by 2 -> /4 (resnet.py:145-169)
         assert out.shape == (1, 8, 8, 8, 1)
 
     def test_bf16_policy_params_stay_fp32(self):
+        # dtype-only assertions: eval_shape carries dtypes without compiling
         model = generate_model(model_depth=10, compute_dtype=jnp.bfloat16)
-        out, variables = init_and_apply(model, jnp.zeros(SMALL))
+        out, variables = shapes_of(model, jnp.zeros(SMALL))
         for leaf in jax.tree_util.tree_leaves(variables["params"]):
             assert leaf.dtype == jnp.float32
         assert out.dtype == jnp.float32  # logits re-cast for stable softmax
@@ -123,9 +131,9 @@ class TestResNet3D:
         (reference models/mymodel.py:62-85)."""
         model = image_encoder(depth=10, global_pool=False, dtype=jnp.float32)
         x = jnp.zeros((1, 16, 16, 16, 1))
-        variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
-        out, inter = model.apply(variables, x, train=False,
-                                 mutable=["intermediates"])
+        out, inter = jax.eval_shape(lambda: model.apply(  # shape-only
+            model.init({"params": jax.random.PRNGKey(0)}, x, train=False),
+            x, train=False, mutable=["intermediates"]))
         taps = inter["intermediates"]["stage_out"]
         assert len(taps) == 4  # one per stage
         assert taps[0].shape[-1] == 64 and taps[3].shape[-1] == 512
@@ -137,8 +145,11 @@ class TestStemS2D:
     and multi-channel inputs, and the param tree path is unchanged."""
 
     @pytest.mark.parametrize("shape,cin", [((19, 22, 21), 1), ((20, 24, 20), 1),
-                                           ((19, 22, 21), 2)])
+                                           pytest.param((19, 22, 21), 2,
+                                                        marks=pytest.mark.slow)])
     def test_native_parity_same_params(self, shape, cin):
+        # the multi-channel variant is its own ~9s compile -> slow tier;
+        # the two 1-channel parity cases stay as fast numeric smokes
         x = jax.random.normal(jax.random.PRNGKey(0), (2, *shape, cin),
                               jnp.float32)
         m_ref = ResNet3D(depth=10, in_channels=cin, s2d_stem=False,
@@ -152,7 +163,8 @@ class TestStemS2D:
         # same checkpoint-facing parameter layout
         assert v["params"]["Conv_0"]["kernel"].shape == (7, 7, 7, cin, 64)
 
-    def test_s2d_stem_gradients_flow(self):
+    @pytest.mark.slow  # full fwd+bwd compile ~30s on the 1-CPU box; the
+    def test_s2d_stem_gradients_flow(self):  # parity tests stay fast
         x = jax.random.normal(jax.random.PRNGKey(0), SMALL, jnp.float32)
         model = ResNet3D(depth=10, s2d_stem=True, dtype=jnp.float32)
         v = model.init({"params": jax.random.PRNGKey(1),

@@ -47,10 +47,12 @@ class TestUNet3D:
         assert feats.shape == (1, 11, 13, 11, 64)
 
     def test_default_channel_plan(self):
-        """64/128/256 + bottleneck 512 (reference unet3d.py:101-108)."""
+        """64/128/256 + bottleneck 512 (reference unet3d.py:101-108).
+        Shape-only: eval_shape skips the ~20s full-width compile on the
+        1-CPU box, keeping a fast-tier default-UNet check."""
         model = UNet3D(dtype=jnp.float32)
         x = jnp.zeros((1, 8, 8, 8, 1))
-        variables = init_vars(model, x)
+        variables = jax.eval_shape(lambda: init_vars(model, x))
         p = variables["params"]
         assert p["ConvBlock3D_0"]["Conv_0"]["kernel"].shape[-1] == 32  # 64//2
         assert p["ConvBlock3D_0"]["Conv_1"]["kernel"].shape[-1] == 64

@@ -31,6 +31,8 @@ def separable_data(n=80, f=6, seed=0):
 
 class TestICLModel:
     def test_forward_shapes(self):
+        # shape-only: eval_shape skips the ~18s 1-CPU compile (fast tier);
+        # numerics are covered fast by test_context_mask_hides_padding
         import jax
         import jax.numpy as jnp
 
@@ -40,12 +42,15 @@ class TestICLModel:
         yc = jnp.zeros((2, 8), jnp.int32)
         mask = jnp.ones((2, 8))
         xq = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), xc, yc, mask, xq)
-        logits, q_emb, c_emb = model.apply(params, xc, yc, mask, xq)
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                xc, yc, mask, xq)
+        logits, q_emb, c_emb = jax.eval_shape(model.apply, params,
+                                              xc, yc, mask, xq)
         assert logits.shape == (2, 5, 4)
         assert q_emb.shape == (2, 5, 32)
         assert c_emb.shape == (2, 8, 32)
 
+    @pytest.mark.slow  # two distinct query widths = two ~7s compiles (1 CPU)
     def test_query_independence(self, tiny_params):
         """Queries must not attend to each other: prediction for a query is
         unchanged by the other queries in the batch."""
@@ -119,6 +124,7 @@ class TestDevicePrior:
                                 n_ctx, n_qry)
         return {k: np.asarray(v) for k, v in t.items()}
 
+    @pytest.mark.slow  # the device sampler compile alone is ~35s on 1 CPU
     def test_shapes_and_masking(self):
         t = self._draw()
         assert t["x_ctx"].shape == (64, 48, 16)

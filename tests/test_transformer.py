@@ -24,15 +24,16 @@ def init_apply(model, *args, train=False, **kw):
 
 class TestTokenizers:
     def test_small_cnn_downsamples_16x(self):
+        # shape-only: eval_shape avoids a ~20s 1-CPU compile (fast tier)
         m = SmallCNN3D(dim=32, dtype=jnp.float32)
         x = jnp.zeros((1, 32, 32, 32, 1))
-        out, _ = init_apply(m, x)
+        out, _ = jax.eval_shape(lambda: init_apply(m, x))
         assert out.shape == (1, 2, 2, 2, 32)
 
     def test_sfcn_shapes(self):
         m = SFCN(dtype=jnp.float32)
         x = jnp.zeros((1, 32, 32, 32, 1))
-        out, _ = init_apply(m, x)
+        out, _ = jax.eval_shape(lambda: init_apply(m, x))  # shape-only
         assert out.shape == (1, 2, 2, 2, 64)
 
     def test_volume_to_tokens_with_pos(self):
@@ -77,8 +78,9 @@ class TestCrossTransformers:
         rng = np.random.default_rng(0)
         mri = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
         pet = jnp.asarray(rng.normal(size=(2, 7, 16)), jnp.float32)
-        variables = m.init(jax.random.PRNGKey(0), mri, pet)
-        mo, po = m.apply(variables, mri, pet)
+        # shape-only -> eval_shape (skips a ~7s compile on the 1-CPU box)
+        mo, po = jax.eval_shape(lambda: m.apply(
+            m.init(jax.random.PRNGKey(0), mri, pet), mri, pet))
         assert mo.shape == (2, 5, 16) and po.shape == (2, 7, 16)
 
     def test_share_mode_fewer_params(self):
@@ -89,12 +91,18 @@ class TestCrossTransformers:
         pet = jnp.asarray(rng.normal(size=(1, 3, 16)), jnp.float32)
         shared = CrossTransformer(dim=16, depth=3, share=True, dim_head=8)
         unshared = CrossTransformer(dim=16, depth=3, share=False, dim_head=8)
-        vs = shared.init(jax.random.PRNGKey(0), mri, pet)
-        vu = unshared.init(jax.random.PRNGKey(0), mri, pet)
+        # param-count + does-the-share-branch-trace checks need no numerics:
+        # eval_shape catches the reference's structural crash at trace time
+        vs = jax.eval_shape(lambda: shared.init(jax.random.PRNGKey(0),
+                                                mri, pet))
+        vu = jax.eval_shape(lambda: unshared.init(jax.random.PRNGKey(0),
+                                                  mri, pet))
         ns = sum(x.size for x in jax.tree_util.tree_leaves(vs))
         nu = sum(x.size for x in jax.tree_util.tree_leaves(vu))
         assert ns * 2 < nu
-        shared.apply(vs, mri, pet)  # forward works
+        # forward traces (vs passed as an eval_shape ARG so its
+        # ShapeDtypeStruct leaves become tracers inside apply)
+        jax.eval_shape(lambda v: shared.apply(v, mri, pet), vs)
 
     def test_mod_avg_cls_token(self):
         m = CrossTransformerModAvg(dim=16, depth=1, heads=2, dim_head=8,
@@ -102,19 +110,21 @@ class TestCrossTransformers:
         rng = np.random.default_rng(0)
         mri = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
         pet = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
-        variables = m.init(jax.random.PRNGKey(0), mri, pet)
-        cls = m.apply(variables, mri, pet)
+        cls = jax.eval_shape(lambda: m.apply(  # shape-only
+            m.init(jax.random.PRNGKey(0), mri, pet), mri, pet))
         assert cls.shape == (2, 64)  # 4 * dim (GAP+GMP per modality)
 
 
 class TestMultimodalClassifier:
-    def test_mri_only(self):
+    @pytest.mark.slow  # ~12s compile on the 1-CPU box; mri_pet/mri_table
+    def test_mri_only(self):  # cover the MRI tokenizer path fast
         m = MultimodalClassifier(num_classes=2, dim=16, depth=1, heads=2,
                                  dim_head=8, mlp_dim=32, dtype=jnp.float32)
         x = jnp.zeros((2, 16, 16, 16, 1))
         out, _ = init_apply(m, x)
         assert out.shape == (2, 2)
 
+    @pytest.mark.slow  # second volume tokenizer = ~30s compile on 1 CPU
     def test_mri_pet(self):
         m = MultimodalClassifier(num_classes=2, dim=16, depth=1, heads=2,
                                  dim_head=8, mlp_dim=32, use_pet=True,
@@ -136,7 +146,9 @@ class TestMultimodalClassifier:
         m = MultimodalClassifier(use_pet=True, dtype=jnp.float32)
         x = jnp.zeros((1, 16, 16, 16, 1))
         with pytest.raises(ValueError, match="requires"):
-            m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+            # the validation fires at trace time — eval_shape skips compile
+            jax.eval_shape(lambda: m.init({"params": jax.random.PRNGKey(0)},
+                                          x, train=False))
 
     @pytest.mark.slow
     def test_trainable_end_to_end(self):
