@@ -127,13 +127,18 @@ class TestInt8Export:
         assert os.path.getsize(path) < fp_bytes / 2
 
     def test_weight_quantization_is_per_channel(self):
-        # export_int8 is pure numpy over the state: fresh init params are
-        # enough here, skipping _trained_like_model's train-mode compile
-        # (~25s on 1 CPU) keeps this the family's fast-tier smoke
+        # export_int8 is pure numpy over the state values: an eval_shape'd
+        # param tree filled with host randoms is enough here (no compile, no
+        # eager init forward), keeping this the family's fast-tier smoke.
+        # Positive fills keep the BN fold's sqrt(var+eps) real.
         model = ResNet3D(depth=10, num_classes=2, dropout_rate=0.0)
         rng = np.random.default_rng(7)
-        x0 = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(7), x0, train=False)
+        x0 = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(7), x0, train=False))
+        variables = jax.tree_util.tree_map(
+            lambda s: (rng.random(s.shape, np.float32) + 0.1).astype(s.dtype),
+            shapes)
         state = {"params": variables["params"],
                  "batch_stats": variables["batch_stats"]}
         qp = export_int8(state, depth=10)

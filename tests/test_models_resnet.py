@@ -107,7 +107,9 @@ class TestResNet3D:
             lambda a, b: float(jnp.abs(a - b).max()), old, new)
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
-    def test_dropout_active_only_in_train(self):
+    @pytest.mark.slow  # ~55s on the 1-CPU box (dropout-graph compile);
+    def test_dropout_active_only_in_train(self):  # batch-stats test is the
+        # family's fast train-mode smoke
         model = generate_model(model_depth=10, dropout_rate=0.5,
                                compute_dtype=jnp.float32)
         x = jnp.asarray(np.random.default_rng(0).normal(size=SMALL), jnp.float32)
@@ -144,12 +146,14 @@ class TestStemS2D:
     7^3/s2 conv on the SAME (7,7,7,C,64) parameter, for odd spatial shapes
     and multi-channel inputs, and the param tree path is unchanged."""
 
-    @pytest.mark.parametrize("shape,cin", [((19, 22, 21), 1), ((20, 24, 20), 1),
+    @pytest.mark.parametrize("shape,cin", [((19, 22, 21), 1),
+                                           pytest.param((20, 24, 20), 1,
+                                                        marks=pytest.mark.slow),
                                            pytest.param((19, 22, 21), 2,
                                                         marks=pytest.mark.slow)])
     def test_native_parity_same_params(self, shape, cin):
-        # the multi-channel variant is its own ~9s compile -> slow tier;
-        # the two 1-channel parity cases stay as fast numeric smokes
+        # each variant is its own ~10-15s compile on the 1-CPU box; one
+        # odd-shape 1-channel parity case stays as the fast numeric smoke
         x = jax.random.normal(jax.random.PRNGKey(0), (2, *shape, cin),
                               jnp.float32)
         m_ref = ResNet3D(depth=10, in_channels=cin, s2d_stem=False,

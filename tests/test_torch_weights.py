@@ -68,7 +68,9 @@ class TestWeightIngestion:
         assert ckpt_keys == mapped & ckpt_keys
         assert not (mapped - ckpt_keys), mapped - ckpt_keys
 
-    def test_forward_parity_after_load(self, tmp_path):
+    @pytest.mark.slow  # torch fwd + jax fwd, 20-65s on the throttly 1-CPU
+    def test_forward_parity_after_load(self, tmp_path):  # box; name-map +
+        # intersection tests keep the ingestion surface in the fast tier
         """Same random torch weights -> same eval-mode features (headless
         backbone), torch vs flax, rtol 1e-3."""
         torch.manual_seed(0)

@@ -116,8 +116,9 @@ class TestCrossTransformers:
 
 
 class TestMultimodalClassifier:
-    @pytest.mark.slow  # ~12s compile on the 1-CPU box; mri_pet/mri_table
-    def test_mri_only(self):  # cover the MRI tokenizer path fast
+    @pytest.mark.slow  # 12-48s compile on the throttly 1-CPU box; the
+    def test_mri_only(self):  # tokenizer/attention/cross-transformer tests
+        # + test_missing_modality_raises keep the family's fast coverage
         m = MultimodalClassifier(num_classes=2, dim=16, depth=1, heads=2,
                                  dim_head=8, mlp_dim=32, dtype=jnp.float32)
         x = jnp.zeros((2, 16, 16, 16, 1))
@@ -133,6 +134,7 @@ class TestMultimodalClassifier:
         out, _ = init_apply(m, x, pet=x)
         assert out.shape == (1, 2)
 
+    @pytest.mark.slow  # ~40s on the 1-CPU box (volume tokenizer + table MLP)
     def test_mri_table(self):
         m = MultimodalClassifier(num_classes=2, dim=16, depth=1, heads=2,
                                  dim_head=8, mlp_dim=32, use_table=True,
