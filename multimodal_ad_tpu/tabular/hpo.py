@@ -103,6 +103,12 @@ def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
         # log- vs probability-space member averaging (the reference's
         # average_before_softmax dimension, hpo/search_space.py:126)
         "average_logits": bool(rng.random() < 0.5),
+        # width-screen cap for wide tables ("auto" = meta-trained range,
+        # max_features//2; smaller caps discard more noise columns — the
+        # analogue of the reference's feature-subsampling dimension,
+        # hpo/search_space.py:18-244)
+        "screen_features": ["auto", "auto", 64, 32, 16][
+            int(rng.integers(0, 5))],
     }
 
 
@@ -117,12 +123,16 @@ def make_from_trial(base_estimator, trial: dict | None):
            else ICLClassifier())
     if trial is None:
         return est
+    params = est.get_params()
     est.set_params(softmax_temperature=trial["softmax_temperature"],
                    context_size=trial["context_size"], seed=trial["seed"],
                    preprocess=trial["preprocess"],
                    **({"n_estimators": trial["n_estimators"]}
                       if "n_estimators" in trial
-                      and "n_estimators" in est.get_params() else {}))
+                      and "n_estimators" in params else {}),
+                   **({"screen_features": trial["screen_features"]}
+                      if "screen_features" in trial
+                      and "screen_features" in params else {}))
     if trial.get("n_ensemble", 1) > 1:
         return SeedEnsembleICL(
             est, n_members=trial["n_ensemble"],

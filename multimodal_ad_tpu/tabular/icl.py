@@ -491,9 +491,73 @@ def load_default_params(cfg: ICLConfig):
 
 
 class FeaturePreprocessMixin:
-    """Feature padding + optional fitted transform (whiten/quantile),
-    shared by ICLClassifier and ICLRegressor. Subclasses provide `_cfg`
+    """Train-median imputation + supervised width screen + feature padding
+    + optional fitted transform (whiten/quantile/onehot/pairs), shared by
+    ICLClassifier and ICLRegressor. Subclasses provide `_cfg`
     (with .max_features) and a `preprocess` attribute."""
+
+    #: "auto" = screen tables wider than the meta-trained feature range
+    #: (max_features // 2, the prior's sampling ceiling in sample_tasks)
+    #: down to that width by supervised F-score; an int forces that width;
+    #: 0/None disables (over-wide tables then raise in _pad_features).
+    screen_features: Any = "auto"
+
+    def _screen_cap(self) -> int:
+        sf = getattr(self, "screen_features", "auto")
+        if sf == "auto":
+            return max(4, self._cfg.max_features // 2)
+        return int(sf) if sf else 0
+
+    def _fit_impute(self, X):
+        """Column medians over FINITE train cells (TabPFN-style missing-
+        value handling). The previous nan->0 fill injected fake in-range
+        values into the context z-score statistics — on the reference's
+        real clinical table (7.3% NaN, some columns ~95% NaN) that biased
+        both the column scale and every downstream transform."""
+        import warnings
+
+        X = np.asarray(X, np.float32)
+        finite = np.isfinite(X)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # all-NaN columns -> NaN median
+            med = np.nanmedian(np.where(finite, X, np.nan), axis=0)
+        self._impute_ = np.nan_to_num(med, nan=0.0, posinf=0.0,
+                                      neginf=0.0).astype(np.float32)
+        return np.where(finite, X, self._impute_[None])
+
+    def _apply_impute(self, X):
+        X = np.asarray(X, np.float32)
+        med = getattr(self, "_impute_", None)
+        if med is None or med.shape[0] != X.shape[1]:
+            return np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+        return np.where(np.isfinite(X), X, med[None])
+
+    def _fit_screen(self, X, y):
+        """Top-k supervised feature screen for tables wider than the
+        meta-trained feature range: the prior samples at most
+        max_features//2 real columns (sample_tasks), so e.g. the reference
+        clinical table's 156 features sit outside the asset's training
+        distribution AND dilute the row projection with noise columns.
+        Falls back to variance ranking when the supervised score is
+        undefined (single-class y, degenerate targets)."""
+        import warnings
+
+        cap = self._screen_cap()
+        if not cap or X.shape[1] <= cap or y is None:
+            self._screen_idx_ = None
+            return X
+        from sklearn.base import is_regressor
+        from sklearn.feature_selection import f_classif, f_regression
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # constant columns
+            try:
+                fn = f_regression if is_regressor(self) else f_classif
+                scores = np.nan_to_num(fn(X, np.asarray(y))[0], nan=0.0)
+            except Exception:
+                scores = X.std(0)
+        self._screen_idx_ = np.sort(np.argsort(-scores)[:cap])
+        return X[:, self._screen_idx_]
 
     def _pad_features(self, X):
         X = np.asarray(X, np.float32)
@@ -502,17 +566,19 @@ class FeaturePreprocessMixin:
         if X.shape[1] > F:
             raise ValueError(
                 f"{X.shape[1]} features > max_features={F}; raise "
-                f"{type(self._cfg).__name__}.max_features")
+                f"{type(self._cfg).__name__}.max_features or enable the "
+                f"width screen (screen_features='auto')")
         return np.pad(X, ((0, 0), (0, F - X.shape[1])))
 
     def _fit_preprocess(self, X, kind="__self__", y=None):
-        """Fit the optional feature transform on the raw training matrix
-        and return the transformed matrix (before padding). ``y`` is used
-        only by the supervised 'pairs' interaction screen."""
+        """Fit imputation + width screen + the optional feature transform
+        on the raw training matrix and return the transformed matrix
+        (before padding). ``y`` drives the width screen and the supervised
+        'pairs' interaction screen."""
         if kind == "__self__":
             kind = self.preprocess
-        X = np.nan_to_num(np.asarray(X, np.float32),
-                          nan=0.0, posinf=0.0, neginf=0.0)
+        X = self._fit_impute(X)
+        X = self._fit_screen(X, y)
         if kind is None:
             self._pre = None
             return X
@@ -640,8 +706,10 @@ class FeaturePreprocessMixin:
         return np.concatenate(cols, axis=1) if cols else X
 
     def _apply_preprocess(self, X):
-        X = np.nan_to_num(np.asarray(X, np.float32),
-                          nan=0.0, posinf=0.0, neginf=0.0)
+        X = self._apply_impute(X)
+        idx = getattr(self, "_screen_idx_", None)
+        if idx is not None:
+            X = X[:, idx]
         pre = getattr(self, "_pre", None)
         if pre is None:
             return X
@@ -719,7 +787,8 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
                  softmax_temperature: float = 1.0,
                  context_size: int | None = None,
                  preprocess: str | None = "auto",
-                 n_estimators: int = 4):
+                 n_estimators: int = 4,
+                 screen_features="auto"):
         self.params = params
         self.cfg = cfg
         self.pretrain_steps = pretrain_steps
@@ -728,6 +797,7 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         self.context_size = context_size
         self.preprocess = preprocess
         self.n_estimators = n_estimators
+        self.screen_features = screen_features
 
     @property
     def _cfg(self) -> ICLConfig:
@@ -792,7 +862,8 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
                 pretrain_steps=self.pretrain_steps, seed=self.seed,
                 softmax_temperature=self.softmax_temperature,
                 context_size=self.context_size, preprocess=kind,
-                n_estimators=self.n_estimators)
+                n_estimators=self.n_estimators,
+                screen_features=self.screen_features)
             try:
                 sub.fit(X[tr], y[tr])
                 scores[kind] = float((sub.predict(X[vl]) == y[vl]).mean())
@@ -812,8 +883,9 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         return best_kind
 
     def fit(self, X, y):
-        X = np.nan_to_num(np.asarray(X, np.float32),
-                          nan=0.0, posinf=0.0, neginf=0.0)
+        # NaN/inf cells survive to _fit_preprocess, which imputes them
+        # with train-column medians (nan->0 here would hide them from it)
+        X = np.asarray(X, np.float32)
         y = np.asarray(y)
         kind = self.preprocess
         if kind == "auto":

@@ -38,7 +38,8 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
                  seed: int = 0, softmax_temperature: float = 1.0,
                  context_size: int | None = None,
                  preprocess: str | None = "auto",
-                 n_estimators: int = 8):
+                 n_estimators: int = 8,
+                 screen_features="auto"):
         self.params = params
         self.cfg = cfg
         self.pretrain_steps = pretrain_steps
@@ -46,6 +47,7 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         self.softmax_temperature = softmax_temperature
         self.context_size = context_size
         self.preprocess = preprocess
+        self.screen_features = screen_features
         # default 8 = the reference TabPFNRegressor default (reference
         # utils.py:150); views permute feature columns only — the target
         # side embeds a continuous value, nothing to permute there
@@ -119,7 +121,8 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
                 pretrain_steps=self.pretrain_steps, seed=self.seed,
                 softmax_temperature=self.softmax_temperature,
                 context_size=self.context_size, preprocess=kind,
-                n_estimators=self.n_estimators)
+                n_estimators=self.n_estimators,
+                screen_features=self.screen_features)
             try:
                 sub.fit(X[tr], y[tr])
                 mse = float(np.mean((sub.predict(X[vl]) - y[vl]) ** 2))
@@ -138,8 +141,8 @@ class ICLRegressor(FeaturePreprocessMixin, RegressorMixin, BaseEstimator):
         return best_kind
 
     def fit(self, X, y):
-        X = np.nan_to_num(np.asarray(X, np.float32),
-                          nan=0.0, posinf=0.0, neginf=0.0)
+        # NaN/inf cells survive to _fit_preprocess's median imputation
+        X = np.asarray(X, np.float32)
         y = np.asarray(y, np.float64)
         kind = self.preprocess
         if kind == "auto":

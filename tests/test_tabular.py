@@ -358,9 +358,42 @@ class TestICLClassifier:
             icl.load_default_params(icl.ICLConfig())
 
     def test_too_many_features_raises(self, tiny_params):
-        clf = ICLClassifier(params=tiny_params, cfg=TINY)
+        # with the width screen disabled, over-wide tables still fail fast
+        clf = ICLClassifier(params=tiny_params, cfg=TINY, screen_features=0)
         with pytest.raises(ValueError, match="max_features"):
             clf.fit(np.zeros((10, 40)), np.zeros(10))
+
+    def test_wide_table_screened_to_meta_trained_width(self, tiny_params):
+        """Default screen_features='auto': a table wider than max_features
+        fits by screening to max_features//2 supervised columns, and the
+        informative column survives the screen."""
+        rng = np.random.default_rng(3)
+        y = rng.integers(0, 2, 120)
+        X = rng.normal(size=(120, 40)).astype(np.float32)
+        X[:, 17] += 2.5 * y  # the only informative column
+        clf = ICLClassifier(params=tiny_params, cfg=TINY, preprocess=None)
+        clf.fit(X, y)
+        assert clf._screen_idx_ is not None
+        assert len(clf._screen_idx_) == TINY.max_features // 2
+        assert 17 in clf._screen_idx_
+        assert (clf.predict(X) == y).mean() > 0.85
+
+    def test_nan_cells_imputed_with_train_medians(self, tiny_params):
+        """NaN cells behave as train-column medians end to end: predictions
+        on a NaN-holed matrix equal predictions on the median-filled one."""
+        rng = np.random.default_rng(4)
+        X, y = separable_data(n=64, f=5, seed=4)
+        holes = rng.random(X.shape) < 0.15
+        Xh = X.copy()
+        Xh[holes] = np.nan
+        clf = ICLClassifier(params=tiny_params, cfg=TINY, preprocess=None)
+        clf.fit(Xh, y)
+        med = np.nanmedian(Xh, axis=0)
+        Xf = np.where(np.isnan(Xh), med[None], Xh)
+        np.testing.assert_allclose(clf.predict_proba(Xh),
+                                   clf.predict_proba(Xf), atol=1e-6)
+        # the fill is the median, not the round-2 behavior of zero
+        assert not np.allclose(clf._impute_, 0.0)
 
     def test_whiten_preprocess_semantics(self, tiny_params):
         """ZCA whitening fit on the train set maps it to (near-)identity

@@ -389,7 +389,8 @@ class TestICLWrappers:
 
         trial = {"softmax_temperature": 0.75, "context_size": 64, "seed": 5,
                  "preprocess": "quantile", "n_ensemble": 2,
-                 "diverse_preprocess": False, "n_estimators": 2}
+                 "diverse_preprocess": False, "n_estimators": 2,
+                 "screen_features": 32}
         est = make_from_trial(tiny, trial)
         assert isinstance(est, SeedEnsembleICL)
         assert est.n_members == 2
@@ -398,6 +399,7 @@ class TestICLWrappers:
         assert base.context_size == 64
         assert base.preprocess == "quantile"
         assert base.n_estimators == 2
+        assert base.screen_features == 32
         # n_ensemble=1 returns the bare estimator
         est1 = make_from_trial(tiny, {**trial, "n_ensemble": 1})
         assert not isinstance(est1, SeedEnsembleICL)
