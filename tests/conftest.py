@@ -14,8 +14,16 @@ if os.environ.get("MAD_TEST_TPU", "0") != "1":
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_collective_timeout_seconds" not in flags:
+        # The virtual-device CPU backend hard-aborts the whole process when
+        # any of the 8 per-device threads misses a collective rendezvous by
+        # 40 s — on the throttled 1-core box a heavily-loaded slow-tier run
+        # can starve a thread that long (observed on the 2-D-mesh train
+        # step). Raise the termination timeout so starvation shows up as a
+        # slow test, not a suite-killing SIGABRT.
+        flags = (flags + " --xla_cpu_collective_timeout_seconds=1200").strip()
+    os.environ["XLA_FLAGS"] = flags
     # The hosted TPU plugin ignores the env var; force via config too.
     import jax
 
