@@ -21,7 +21,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(shape: dict | None = None, devices=None) -> Mesh:
     """Build a mesh from an axis-name -> size dict. Size -1 absorbs all
-    remaining devices (like a reshape wildcard)."""
+    remaining devices (like a reshape wildcard).
+
+    A shape smaller than the available device count takes the FIRST
+    prod(sizes) devices — the mesh analogue of the reference's ``gpu_id``
+    list selecting a subset of GPUs for DataParallel
+    (reference models/Resnet3D.py:89-99)."""
     if devices is None:
         devices = jax.devices()
     shape = dict(shape or {"data": -1})
@@ -34,9 +39,11 @@ def make_mesh(shape: dict | None = None, devices=None) -> Mesh:
         if n % fixed:
             raise ValueError(f"{n} devices not divisible by fixed axes {fixed}")
         sizes[sizes.index(-1)] = n // fixed
-    if int(np.prod(sizes)) != n:
-        raise ValueError(f"mesh {dict(zip(shape, sizes))} != {n} devices")
-    dev_array = np.asarray(devices).reshape(sizes)
+    want = int(np.prod(sizes))
+    if want > n:
+        raise ValueError(f"mesh {dict(zip(shape, sizes))} needs {want} "
+                         f"devices, only {n} available")
+    dev_array = np.asarray(devices[:want]).reshape(sizes)
     return Mesh(dev_array, tuple(shape.keys()))
 
 

@@ -71,7 +71,13 @@ class TestCLIs:
     def test_train_unet_cli(self, adni_dir, tmp_path, mesh8):
         from multimodal_ad_tpu.cli.train_unet3d import main
 
-        cfg = write_cfg(tmp_path, adni_dir, batch_size=8)
+        # 2-device mesh (exercises the config mesh_shape knob): the base-32
+        # U-Net classifier step on 8 virtual devices runs each device thread
+        # right at the CPU backend's 40 s collective-rendezvous abort cliff
+        # on the 1-core box; 2 participants keep the same CLI surface and
+        # sharded-training path without the starvation russian-roulette.
+        cfg = write_cfg(tmp_path, adni_dir, batch_size=8,
+                        mesh_shape={"data": 2})
         best = main(["--config", cfg, "model_depth=10"])
         assert np.isfinite(best)
         assert os.path.isdir(str(tmp_path / "ckpt" / "best_model"))

@@ -18,6 +18,16 @@ class TestMeshBasics:
         assert mesh8.size == 8
         assert mesh8.axis_names == ("data",)
 
+    def test_submesh_takes_first_devices(self, mesh8):
+        """A shape smaller than the device count builds a submesh over the
+        first prod(sizes) devices (the reference gpu_id-subset analogue,
+        models/Resnet3D.py:89-99); an over-sized shape still errors."""
+        sub = make_mesh({"data": 2})
+        assert sub.size == 2
+        assert [d.id for d in sub.devices.flat] == [0, 1]
+        with pytest.raises(ValueError, match="needs 16"):
+            make_mesh({"data": 16})
+
     def test_pad_to_multiple(self):
         batch = {"image": np.ones((5, 3)), "label": np.arange(5)}
         padded, mask = pad_to_multiple(batch, 8)
