@@ -116,6 +116,13 @@ def spatial_sharding(mesh: Mesh, axis: str = "data",
     inserts the halo exchanges 3-D convolutions need at shard boundaries —
     no manual ring logic. Not required for ADNI-scale volumes (they fit
     easily); provided as the scale-up path for higher-resolution imaging.
+
+    Layout note: with the default space-to-depth ResNet stem
+    (``ResNet3D(s2d_stem=True)``), keep the per-shard extent of the
+    sharded axis divisible by the s2d factor (4) — e.g. shard degree 2-4
+    on MNI-scale axes — so the stem's reshape stays shard-local. A split
+    fine enough to break that divisibility turns every stem activation
+    into a global reshard (collective traffic instead of halo exchange).
     """
     spec = [None] * 5
     spec[spatial_dim] = axis
