@@ -68,7 +68,10 @@ def _split_multi():
                             stratify=y)
 
 
-def _split_binary(class0="AD", class1="CN"):
+def _split_binary(class0="CN", class1="AD"):
+    """Defaults match the tabular loader's convention (CN=0 / AD=1,
+    reference tabel_loader.py:8-10; MIGRATION.md) so AUC is reported
+    against the documented positive class on non-saturated tasks."""
     from sklearn.model_selection import train_test_split
 
     from multimodal_ad_tpu.data.tabular import load_adni_data_binary

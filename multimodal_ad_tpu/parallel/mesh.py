@@ -43,6 +43,15 @@ def make_mesh(shape: dict | None = None, devices=None) -> Mesh:
     if want > n:
         raise ValueError(f"mesh {dict(zip(shape, sizes))} needs {want} "
                          f"devices, only {n} available")
+    if want < n:
+        # deliberate subset meshes are legitimate (the gpu_id analogue),
+        # but a mis-sized shape intending ALL devices would now silently
+        # idle the rest — make the subset visible
+        import warnings
+
+        warnings.warn(
+            f"mesh {dict(zip(shape, sizes))} uses {want} of {n} available "
+            f"devices; the remaining {n - want} stay idle", stacklevel=2)
     dev_array = np.asarray(devices[:want]).reshape(sizes)
     return Mesh(dev_array, tuple(shape.keys()))
 

@@ -141,7 +141,60 @@ def make_from_trial(base_estimator, trial: dict | None):
     return est
 
 
+def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
+                      n_finalists: int = 2, verbose: bool = False) -> int:
+    """Selection-bias guard for HPO over noisy CV scores: the default
+    config (trials[0] is None) wins unless a searched trial beats it by
+    more than the NOISE of the comparison.
+
+    An HPO wrapper whose space contains the default must never finish
+    below it, but picking the argmax of noisy CV means does exactly that
+    ~half the time on near-tied spaces (round-3 measured: TunedICL 0.900
+    vs plain ICL 0.919 on the cluster family). Guard: the top
+    ``n_finalists`` candidates that beat the default's first-pass mean are
+    RE-SCORED (together with the default) on a second, differently-seeded
+    CV via ``rescore(trial)``; a candidate is adopted only if its pooled
+    PAIRED per-fold advantage over the default has mean > the standard
+    error of that advantage. ``sign`` is +1 when higher scores are better,
+    -1 for losses (rmse/mse/mae).
+
+    ``fold_scores`` must be paired: every trial scored on the SAME CV
+    splits. Returns the index into ``trials`` of the guarded pick (0 = the
+    default)."""
+    base = np.asarray(fold_scores[0], np.float64)
+    means = [float(sign * np.nanmean(s)) for s in fold_scores]
+    order = np.argsort(means)[::-1]
+    cands = [int(i) for i in order
+             if i != 0 and means[i] > means[0]][:n_finalists]
+    if not cands:
+        return 0
+    base2 = np.asarray(rescore(trials[0]), np.float64)
+    best_i, best_adv = 0, 0.0
+    for i in cands:
+        extra = np.asarray(rescore(trials[i]), np.float64)
+        d = np.concatenate([
+            sign * (np.asarray(fold_scores[i], np.float64) - base),
+            sign * (extra - base2)])
+        d = d[np.isfinite(d)]
+        if len(d) < 2:
+            continue
+        se = float(d.std(ddof=1) / np.sqrt(len(d)))
+        if verbose:
+            print(f"[hpo guard] finalist {i}: paired advantage "
+                  f"{d.mean():+.4f} (se {se:.4f})")
+        if d.mean() > max(se, 1e-6) and d.mean() > best_adv:
+            best_i, best_adv = i, float(d.mean())
+    return best_i
+
+
 class TunedICLClassifier(ClassifierMixin, BaseEstimator):
+    """Random-search HPO with a selection-bias guard: `best_params_` stays
+    None (the default config) unless a searched trial beats it by more than
+    CV noise — see `guarded_selection`. The reference's TunedTabPFN has no
+    such guard (reference hpo/tuned_tabpfn.py:75-547, raw hyperopt argmin);
+    the divergence is deliberate and tested
+    (tests/test_tabular_ext.py guard tests)."""
+
     def __init__(self, base_estimator=None, n_trials: int = 20,
                  metric: str = "roc_auc", n_splits: int = 3,
                  random_state: int = 0, verbose: bool = False):
@@ -155,34 +208,42 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
     def _make(self, trial: dict | None):
         return make_from_trial(self.base_estimator, trial)
 
+    def _cv_scores(self, X, y, trial, seed):
+        kf = StratifiedKFold(n_splits=self.n_splits, shuffle=True,
+                             random_state=seed)
+        scores = []
+        for tr, vl in kf.split(X, y):
+            est = self._make(trial).fit(X[tr], y[tr])
+            scores.append(score_classification(
+                self.metric, y[vl], est.predict_proba(X[vl])))
+        return scores
+
     def fit(self, X, y):
         X = np.asarray(X, np.float32)
         y = np.asarray(y)
         self.classes_ = np.unique(y)
         rng = np.random.default_rng(self.random_state)
-        best_score, best_trial = -np.inf, None
-        kf = StratifiedKFold(n_splits=self.n_splits, shuffle=True,
-                             random_state=self.random_state)
 
         # trial None = the unmodified base config (with fit-time automatic
         # preprocessing): tuning must never end up worse than plain ICL
         trials = [None] + [default_search_space(rng, len(X))
                            for _ in range(self.n_trials)]
+        fold_scores = []
         for t, trial in enumerate(trials):
-            scores = []
-            for tr, vl in kf.split(X, y):
-                est = self._make(trial).fit(X[tr], y[tr])
-                scores.append(score_classification(
-                    self.metric, y[vl], est.predict_proba(X[vl])))
-            score = float(np.nanmean(scores))
+            scores = self._cv_scores(X, y, trial, self.random_state)
+            fold_scores.append(scores)
             if self.verbose:
-                print(f"[hpo] trial {t}: {trial} -> {score:.4f}")
-            if score > best_score:
-                best_score, best_trial = score, trial
+                print(f"[hpo] trial {t}: {trial} -> "
+                      f"{float(np.nanmean(scores)):.4f}")
 
-        self.best_params_ = best_trial
-        self.best_score_ = best_score
-        self.best_estimator_ = self._make(best_trial).fit(X, y)
+        pick = guarded_selection(
+            trials, fold_scores,
+            rescore=lambda tr: self._cv_scores(X, y, tr,
+                                               self.random_state + 1),
+            sign=1.0, verbose=self.verbose)
+        self.best_params_ = trials[pick]
+        self.best_score_ = float(np.nanmean(fold_scores[pick]))
+        self.best_estimator_ = self._make(trials[pick]).fit(X, y)
         return self
 
     def predict(self, X):

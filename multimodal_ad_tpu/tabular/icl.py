@@ -528,8 +528,16 @@ class FeaturePreprocessMixin:
     def _apply_impute(self, X):
         X = np.asarray(X, np.float32)
         med = getattr(self, "_impute_", None)
-        if med is None or med.shape[0] != X.shape[1]:
+        if med is None:  # never fitted (pre-fit helper use): plain cleanup
             return np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+        if med.shape[0] != X.shape[1]:
+            # a wrong-width X at predict time must fail like any sklearn
+            # estimator, not degrade to zero-fill (with an active width
+            # screen the stale _screen_idx_ would then select shifted
+            # columns and produce silently wrong predictions)
+            raise ValueError(
+                f"X has {X.shape[1]} features, but this estimator was "
+                f"fitted with {med.shape[0]} features")
         return np.where(np.isfinite(X), X, med[None])
 
     def _fit_screen(self, X, y):

@@ -344,7 +344,10 @@ class RandomForestICLRegressor(RegressorMixin, BaseEstimator):
 
 
 class TunedICLRegressor(RegressorMixin, BaseEstimator):
-    """Random-search tuned regressor (TunedTabPFNRegressor parity)."""
+    """Random-search tuned regressor (TunedTabPFNRegressor parity), with
+    the same selection-bias guard as the classifier wrapper: the default
+    config wins unless a trial beats it by more than CV noise
+    (`hpo.guarded_selection`)."""
 
     def __init__(self, base_estimator=None, n_trials: int = 10,
                  metric: str = "rmse", n_splits: int = 3,
@@ -355,17 +358,25 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
         self.n_splits = n_splits
         self.random_state = random_state
 
-    def fit(self, X, y):
+    def _cv_scores(self, X, y, trial, seed):
         from sklearn.model_selection import KFold
 
         from .scoring import score_regression
 
+        kf = KFold(n_splits=self.n_splits, shuffle=True, random_state=seed)
+        scores = []
+        for tr, vl in kf.split(X):
+            est = self._make(trial).fit(X[tr], y[tr])
+            scores.append(score_regression(self.metric, y[vl],
+                                           est.predict(X[vl])))
+        return scores
+
+    def fit(self, X, y):
+        from .hpo import guarded_selection
+
         X = np.asarray(X, np.float32)
         y = np.asarray(y, np.float64)
         rng = np.random.default_rng(self.random_state)
-        kf = KFold(n_splits=self.n_splits, shuffle=True,
-                   random_state=self.random_state)
-        best_score, best_trial = np.inf, None
         # trial None = the unmodified base config; tuning never loses to it
         trials = [None] + [{
             "softmax_temperature": float(rng.choice([0.75, 1.0, 1.25])),
@@ -376,18 +387,16 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
             # dimension); _make only applies it when the base exposes it
             "n_estimators": int(rng.choice([1, 4, 8])),
         } for _ in range(self.n_trials)]
-        for trial in trials:
-            scores = []
-            for tr, vl in kf.split(X):
-                est = self._make(trial).fit(X[tr], y[tr])
-                scores.append(score_regression(self.metric, y[vl],
-                                               est.predict(X[vl])))
-            score = float(np.mean(scores))
-            if score < best_score:  # rmse/mse/mae: lower is better
-                best_score, best_trial = score, trial
-        self.best_params_ = best_trial
-        self.best_score_ = best_score
-        self.best_estimator_ = self._make(best_trial).fit(X, y)
+        fold_scores = [self._cv_scores(X, y, trial, self.random_state)
+                       for trial in trials]
+        pick = guarded_selection(
+            trials, fold_scores,
+            rescore=lambda tr: self._cv_scores(X, y, tr,
+                                               self.random_state + 1),
+            sign=-1.0)  # rmse/mse/mae: lower is better
+        self.best_params_ = trials[pick]
+        self.best_score_ = float(np.nanmean(fold_scores[pick]))
+        self.best_estimator_ = self._make(trials[pick]).fit(X, y)
         return self
 
     def _make(self, trial):

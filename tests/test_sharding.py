@@ -22,7 +22,8 @@ class TestMeshBasics:
         """A shape smaller than the device count builds a submesh over the
         first prod(sizes) devices (the reference gpu_id-subset analogue,
         models/Resnet3D.py:89-99); an over-sized shape still errors."""
-        sub = make_mesh({"data": 2})
+        with pytest.warns(UserWarning, match="2 of 8 available"):
+            sub = make_mesh({"data": 2})
         assert sub.size == 2
         assert [d.id for d in sub.devices.flat] == [0, 1]
         with pytest.raises(ValueError, match="needs 16"):
