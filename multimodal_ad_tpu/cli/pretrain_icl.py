@@ -53,6 +53,17 @@ def main(argv=None):
                         "correlated,pairwise,periodic,mlp) overriding the "
                         "prior's default mixture — for biased adaptation "
                         "phases (classifier only)")
+    p.add_argument("--aux-embed", type=float, default=0.0,
+                   help="weight of the supervised-contrastive auxiliary "
+                        "loss on query embeddings (classifier only); shapes "
+                        "the hidden states for downstream linear probes — "
+                        "see pretrain_icl docstring")
+    p.add_argument("--aux-tau", type=float, default=0.2,
+                   help="temperature of the contrastive auxiliary loss")
+    p.add_argument("--cat-input", action="store_true",
+                   help="train with the native categorical pathway "
+                        "(ICLConfig.cat_input=True): the prior's cat_mask "
+                        "feeds zero-init cat projections (classifier only)")
     p.add_argument("--save-dtype", default="float32",
                    choices=["float32", "float16"],
                    help="weight dtype in the saved msgpack (float16 halves "
@@ -95,15 +106,18 @@ def main(argv=None):
     else:
         from ..tabular.icl import ICLConfig, pretrain_icl
 
-        cfg = (ICLConfig() if args.d_model is None
-               else ICLConfig(d_model=args.d_model))
+        kw = {} if args.d_model is None else {"d_model": args.d_model}
+        if args.cat_input:
+            kw["cat_input"] = True
+        cfg = ICLConfig(**kw)
         init_params = None
         if args.resume_from:
             import jax
             import jax.numpy as jnp
             import numpy as np
 
-            from ..tabular.icl import ICLTransformer, sample_tasks
+            from ..tabular.icl import (ICLTransformer,
+                                       merge_compatible_params, sample_tasks)
 
             model = ICLTransformer(cfg)
             t = sample_tasks(np.random.default_rng(0), 1, cfg, 8, 4)
@@ -111,10 +125,12 @@ def main(argv=None):
                 jax.random.PRNGKey(0), jnp.asarray(t["x_ctx"]),
                 jnp.asarray(t["y_ctx"]), jnp.asarray(t["ctx_mask"]),
                 jnp.asarray(t["x_qry"]))
-            with open(args.resume_from, "rb") as f:
-                init_params = serialization.from_bytes(template, f.read())
+            # key-intersection merge: tolerates architecture revisions
+            # (e.g. warm-starting a cat_input=True run from an older asset)
+            init_params = merge_compatible_params(template, args.resume_from,
+                                                  verbose=True)
             init_params = jax.tree_util.tree_map(
-                lambda a: a.astype("float32"), init_params)
+                lambda a: jnp.asarray(a, "float32"), init_params)
             print(f"warm start from {args.resume_from}")
 
         mix = (None if args.mix is None
@@ -124,7 +140,9 @@ def main(argv=None):
                                  lr=args.lr, seed=args.seed, verbose=True,
                                  init_params=init_params,
                                  device_prior=args.device_prior,
-                                 chunk=args.chunk, mix=mix)
+                                 chunk=args.chunk, mix=mix,
+                                 aux_embed=args.aux_embed,
+                                 aux_tau=args.aux_tau)
     if args.save_dtype == "float16":
         import jax
         import numpy as np

@@ -62,3 +62,62 @@ class OoFEmbedding:
 
 # Alias mirroring the reference export name
 TabPFNEmbedding = OoFEmbedding
+
+
+#: preprocess/seed-diverse member recipe for EnsembleICLEmbedder: the
+#: transforms the fit-time auto-selector searches, plus two width-screen
+#: variants — each FIXED per member so every K-fold refit of the OoF
+#: harness produces the same representation geometry (a per-fold auto
+#: search would re-pick transforms fold by fold and scramble the columns
+#: a downstream linear model trains across).
+DEFAULT_MEMBER_SPECS = (
+    {"preprocess": None, "seed": 0},
+    {"preprocess": "whiten", "seed": 1},
+    {"preprocess": "quantile", "seed": 2},
+    {"preprocess": "pairs", "seed": 3},
+    {"preprocess": None, "seed": 4, "screen_features": 32},
+    {"preprocess": "quantile", "seed": 5, "screen_features": 32},
+)
+
+
+class EnsembleICLEmbedder:
+    """Diversity-ensemble embedder: concatenates the embeddings of
+    preprocess/seed-diverse ICL members.
+
+    The round-3 verdict measured that single-fit ICL OoF embeddings score
+    exactly the raw-feature baseline on the reference's clinical table
+    (0.829) while an AutoICL ensemble of diverse configs scores 0.915
+    DIRECTLY — the information is there, one fixed config's view of it is
+    not enough. This is the embedding-path analogue of that ensemble (the
+    reference's own TabPFN likewise ensembles preprocessing variants
+    internally, reference hpo/search_space.py:18-244): each member embeds
+    the table under a different fixed transform, and the downstream linear
+    model (reference tabel_test.py:166-185) learns which members' evidence
+    to trust — supervised member weighting, where AutoICL uses Caruana
+    greedy validation weighting.
+
+    Satisfies the OoFEmbedding embedder contract (fit / get_embeddings ->
+    (1, n, d)), so it drops into the reference's K-fold OoF harness
+    unchanged. ``embedding_kind`` is forwarded to every member ('compact'
+    default — see ICLClassifier.get_embeddings).
+    """
+
+    def __init__(self, specs=None, embedding_kind: str = "compact",
+                 cfg=None, params=None):
+        from .icl import ICLClassifier
+
+        self.specs = tuple(dict(s) for s in (specs or DEFAULT_MEMBER_SPECS))
+        self.embedding_kind = embedding_kind
+        self.members = [
+            ICLClassifier(cfg=cfg, params=params,
+                          embedding_kind=embedding_kind, **s)
+            for s in self.specs]
+
+    def fit(self, X, y):
+        for m in self.members:
+            m.fit(X, y)
+        return self
+
+    def get_embeddings(self, X, data_source: str = "test"):
+        embs = [m.get_embeddings(X, data_source)[0] for m in self.members]
+        return np.concatenate(embs, axis=1)[None]

@@ -51,6 +51,15 @@ class ICLConfig:
     max_classes: int = 10
     max_context: int = 512
     dropout: float = 0.0
+    #: native categorical handling: the forward accepts a per-feature
+    #: categorical-indicator mask feeding two zero-init projections (values
+    #: of categorical columns + the column-type pattern itself), so the
+    #: network can treat integer-coded categories non-ordinally — the
+    #: reference's TabPFN path likewise feeds inferred categorical indices
+    #: to the model natively (reference utils.py:330-380). Zero-init keeps
+    #: a warm-started asset's behavior identical until meta-training moves
+    #: the new weights.
+    cat_input: bool = False
 
 
 class ICLBlock(nn.Module):
@@ -88,7 +97,8 @@ class ICLTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x_ctx, y_ctx, ctx_mask, x_qry, deterministic=True):
+    def __call__(self, x_ctx, y_ctx, ctx_mask, x_qry, cat_mask=None,
+                 deterministic=True):
         c = self.cfg
         b, n, f = x_ctx.shape
         m = x_qry.shape[1]
@@ -101,6 +111,21 @@ class ICLTransformer(nn.Module):
 
         h_ctx = proj(x_ctx) + label_emb(y_ctx)
         h_qry = proj(x_qry) + query_tok.astype(self.dtype)
+        if c.cat_input:
+            # per-feature categorical indicator (B, F): two zero-init
+            # linear views — the values restricted to categorical columns,
+            # and the type pattern itself (row-independent)
+            if cat_mask is None:
+                cat_mask = jnp.zeros((b, f), self.dtype)
+            cat_mask = cat_mask.astype(self.dtype)
+            cat_proj = nn.Dense(c.d_model, dtype=self.dtype, name="cat_proj",
+                                kernel_init=nn.initializers.zeros)
+            cat_ind = nn.Dense(c.d_model, dtype=self.dtype, name="cat_ind",
+                               use_bias=False,
+                               kernel_init=nn.initializers.zeros)
+            ind = cat_ind(cat_mask)[:, None, :]  # (B, 1, D)
+            h_ctx = h_ctx + cat_proj(x_ctx * cat_mask[:, None, :]) + ind
+            h_qry = h_qry + cat_proj(x_qry * cat_mask[:, None, :]) + ind
         h = jnp.concatenate([h_ctx, h_qry], axis=1)  # (B, N+M, D)
 
         # attention bias: everyone may attend to VALID context tokens and to
@@ -172,6 +197,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
     n = n_ctx + n_qry
     x = np.zeros((batch, n, F), np.float32)
     y = np.zeros((batch, n), np.int64)
+    cat = np.zeros((batch, F), np.float32)  # per-task categorical columns
     for b in range(batch):
         f = int(rng.integers(3, max(4, F // 2) + 1))
         # class count skewed toward binary (half of clinical tasks are
@@ -197,6 +223,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
             for jcol in rng.choice(f, n_cat, replace=False):
                 xs[:, jcol] = np.digitize(xs[:, jcol],
                                           [-0.5, 0.5]).astype(np.float32)
+                cat[b, jcol] = 1.0
         elif kind < t2:
             # correlated-latent prior: observed features are linear mixes of
             # fewer latent factors plus small independent noise — the
@@ -259,6 +286,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
             n_cat = int(rng.integers(0, max(1, f // 3) + 1))
             for j in rng.choice(f, n_cat, replace=False):
                 xs[:, j] = np.digitize(xs[:, j], [-0.5, 0.5]).astype(np.float32)
+                cat[b, j] = 1.0
             h1 = np.tanh(xs @ rng.normal(size=(f, 8)).astype(np.float32)
                          + rng.normal(size=8).astype(np.float32))
             score = (h1 @ rng.normal(size=8).astype(np.float32)
@@ -284,6 +312,7 @@ def sample_tasks(rng: np.random.Generator, batch: int, cfg: ICLConfig,
         "x_ctx": x[:, :n_ctx], "y_ctx": y[:, :n_ctx].astype(np.int32),
         "ctx_mask": ctx_mask,
         "x_qry": x[:, n_ctx:], "y_qry": y[:, n_ctx:].astype(np.int32),
+        "cat_mask": cat,
     }
 
 
@@ -299,7 +328,8 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
                  batch: int = 32, n_ctx: int = 96, n_qry: int = 32,
                  lr: float = 3e-4, seed: int = 0, verbose: bool = False,
                  init_params=None, device_prior: bool = False,
-                 chunk: int = 100, mix=None):
+                 chunk: int = 100, mix=None, aux_embed: float = 0.0,
+                 aux_tau: float = 0.2):
     """Meta-train the prior-fitted network on synthetic tasks; returns
     (params, cfg).
 
@@ -319,7 +349,18 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
 
     ``mix`` overrides the prior's family weights (``DEFAULT_FAMILY_MIX``)
     for biased curriculum phases (e.g. a pairwise-interaction-heavy
-    adaptation pass)."""
+    adaptation pass).
+
+    ``aux_embed`` > 0 adds an embedding-aware auxiliary objective: a
+    supervised-contrastive (InfoNCE) loss over the per-task QUERY hidden
+    states — same-class queries attract, other-class queries repel, at
+    temperature ``aux_tau``. The NLL alone only requires class information
+    to survive the one linear cls_head readout; downstream users train
+    NEW linear models on the embeddings across K-fold refits (reference
+    tabel_test.py:166-185), which needs class identity to dominate the
+    embedding geometry itself. Round-3 measured the gap this closes: ICL
+    OoF embeddings scored exactly the raw-feature baseline (0.829) on the
+    reference's clinical table while TabPFN-v2's scored 0.932."""
     mix_t = None if mix is None else tuple(float(w) for w in mix)
     model = ICLTransformer(cfg)
     rng = np.random.default_rng(seed)
@@ -335,12 +376,31 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
     def loss_fn(p, task):
         xc, xq = _zscore_by_ctx(task["x_ctx"], task["x_qry"],
                                 task["ctx_mask"])
-        logits, _, _ = model.apply(p, xc, task["y_ctx"],
-                                   task["ctx_mask"], xq)
+        logits, q_emb, _ = model.apply(p, xc, task["y_ctx"],
+                                       task["ctx_mask"], xq,
+                                       task.get("cat_mask"))
         logp = jax.nn.log_softmax(logits)
         nll = -jnp.take_along_axis(
             logp, task["y_qry"][..., None].astype(jnp.int32), axis=-1)
-        return nll.mean()
+        loss = nll.mean()
+        if aux_embed > 0.0:
+            # supervised contrastive over queries within each task
+            y = task["y_qry"].astype(jnp.int32)
+            z = q_emb / jnp.maximum(
+                jnp.linalg.norm(q_emb, axis=-1, keepdims=True), 1e-6)
+            sim = jnp.einsum("bmd,bnd->bmn", z, z) / aux_tau
+            m = sim.shape[1]
+            eye = jnp.eye(m, dtype=bool)[None]
+            sim = jnp.where(eye, -jnp.inf, sim)
+            same = (y[:, :, None] == y[:, None, :]) & ~eye
+            log_z = jax.nn.logsumexp(sim, axis=-1)  # (B, M)
+            pos_lp = jnp.where(same, sim - log_z[..., None], 0.0).sum(-1)
+            n_pos = same.sum(-1)
+            has_pos = n_pos > 0
+            con = -jnp.where(has_pos, pos_lp / jnp.maximum(n_pos, 1), 0.0)
+            loss = loss + aux_embed * (con.sum()
+                                       / jnp.maximum(has_pos.sum(), 1))
+        return loss
 
     if device_prior:
         from .icl_prior import sample_tasks_device
@@ -429,6 +489,33 @@ def validated_from_bytes(template, path: str):
         raise ValueError("array shape mismatch: " + "; ".join(mismatches[:4]))
     # assets may be stored in reduced precision; compute expects fp32
     return jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), loaded)
+
+
+def merge_compatible_params(template, path: str, verbose: bool = False):
+    """Key-intersection warm start ACROSS architecture revisions: leaves
+    present in both trees with matching shapes load from the file; new
+    leaves (e.g. the zero-init cat_proj/cat_ind pathway added in round 4)
+    keep their template values. The same merge semantics the reference
+    uses for MedicalNet pretrain transfer (reference
+    train_ResNet3D.py:74-81 key-intersection state-dict merge)."""
+    from flax import serialization, traverse_util
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    flat_t = traverse_util.flatten_dict(serialization.to_state_dict(template))
+    flat_o = traverse_util.flatten_dict(raw)
+    merged, hits = {}, 0
+    for k, v in flat_t.items():
+        if k in flat_o and np.shape(flat_o[k]) == np.shape(v):
+            merged[k] = np.asarray(flat_o[k], np.float32)
+            hits += 1
+        else:
+            merged[k] = v
+    if verbose:
+        print(f"[icl warm start] {hits}/{len(flat_t)} leaves matched "
+              f"{path} ({len(flat_o)} stored)")
+    return serialization.from_state_dict(
+        template, traverse_util.unflatten_dict(merged))
 
 
 def resolve_asset_params(load_file, env_var: str, bundled_path: str,
@@ -796,7 +883,8 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
                  context_size: int | None = None,
                  preprocess: str | None = "auto",
                  n_estimators: int = 4,
-                 screen_features="auto"):
+                 screen_features="auto",
+                 embedding_kind: str = "rich"):
         self.params = params
         self.cfg = cfg
         self.pretrain_steps = pretrain_steps
@@ -806,6 +894,7 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         self.preprocess = preprocess
         self.n_estimators = n_estimators
         self.screen_features = screen_features
+        self.embedding_kind = embedding_kind
 
     @property
     def _cfg(self) -> ICLConfig:
@@ -962,6 +1051,16 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
             fp.append(p)
             cp.append(rng.permutation(k))
         self._views = (np.stack(fp), np.stack(cp))
+        # per-feature categorical indicator for the native cat pathway
+        # (reference utils.py:330-380 infer_categorical_features feeding
+        # the model); computed on the PREPROCESSED matrix so e.g. onehot
+        # indicators are flagged and rank-gauss'd columns are not
+        cat_vec = np.zeros(self._cfg.max_features, np.float32)
+        if self._cfg.cat_input and f_real:
+            from .utils import infer_categorical_features
+
+            for j in infer_categorical_features(Xp):
+                cat_vec[j] = 1.0
         # the permuted CONTEXT views are fit-time constants: build and
         # upload them once here, so predict calls only permute the queries
         x_ctx = self._fitted["x_ctx"][0]
@@ -971,7 +1070,8 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
             jnp.asarray(np.stack([x_ctx[:, p] for p in fp])),
             jnp.asarray(np.stack([c[y_ctx] for c in cp]).astype(np.int32)),
             jnp.asarray(np.ascontiguousarray(
-                np.broadcast_to(mask, (V, mask.shape[0])))))
+                np.broadcast_to(mask, (V, mask.shape[0])))),
+            jnp.asarray(np.stack([cat_vec[p] for p in fp])))
         return self
 
     # one compiled forward per config, shared across instances/clones
@@ -984,18 +1084,19 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
             model = ICLTransformer(cfg)
 
             @jax.jit
-            def fwd(params, x_ctx, y_ctx, ctx_mask, x_qry):
+            def fwd(params, x_ctx, y_ctx, ctx_mask, x_qry, cat):
                 xc, xq = _zscore_by_ctx(x_ctx, x_qry, ctx_mask)
-                return model.apply(params, xc, y_ctx, ctx_mask, xq)
+                return model.apply(params, xc, y_ctx, ctx_mask, xq, cat)
 
             ICLClassifier._fwd_cache[cfg] = fwd
         return ICLClassifier._fwd_cache[cfg]
 
-    def _run(self, X):
+    def _run(self, X, want_ctx: bool = False):
         """One batched forward over all ensemble views.
 
         Returns (logits (V, M, k) with class columns un-permuted back to
-        canonical `classes_` order, identity-view embeddings (M, d))."""
+        canonical `classes_` order, per-view query embeddings (V, M, d)[,
+        identity-view context embeddings (N, d) when ``want_ctx``])."""
         if getattr(self, "_fitted", None) is None:
             raise RuntimeError("fit() first")
         params = self._ensure_params()
@@ -1006,13 +1107,17 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         # canonical class index -> label-embedding row; padded context rows
         # map through cp too but their keys are masked out); only the
         # query views are per-call work
-        x_ctx_v, y_ctx_v, mask_v = self._views_dev
-        logits, q_emb, _ = self._forward(
+        x_ctx_v, y_ctx_v, mask_v, cat_v = self._views_dev
+        logits, q_emb, ctx_emb = self._forward(
             params, x_ctx_v, y_ctx_v, mask_v,
-            jnp.asarray(np.stack([Xq[:, p] for p in fp])))
+            jnp.asarray(np.stack([Xq[:, p] for p in fp])), cat_v)
         logits = np.asarray(logits)
         canon = np.stack([logits[v][:, cp[v]] for v in range(V)])
-        return canon, np.asarray(q_emb[0])
+        if want_ctx:
+            # identity-view only: views permute class/feature assignments,
+            # so only view 0's context rows align with canonical labels
+            return canon, np.asarray(q_emb), np.asarray(ctx_emb[0])
+        return canon, np.asarray(q_emb)
 
     def predict_proba(self, X):
         logits, _ = self._run(X)  # (V, M, k), already canonical order
@@ -1023,7 +1128,72 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
     def predict(self, X):
         return self.classes_[np.argmax(self.predict_proba(X), axis=1)]
 
+    def _class_columns(self, values):
+        """Scatter per-class columns (M, k) into a canonical (M,
+        max_classes) block. Columns are addressed by the class LABEL when
+        every label is a small non-negative integer — so K-fold OoF refits
+        whose folds see different class subsets still write each class to
+        the SAME column — and by `classes_` position otherwise."""
+        M, k = values.shape
+        C = self._cfg.max_classes
+        out = np.zeros((M, C), values.dtype)
+        cls = self.classes_
+        try:
+            idx = np.asarray(cls, np.int64)
+            ok = (np.asarray(cls, np.float64) == idx).all() and \
+                (idx >= 0).all() and (idx < C).all()
+        except (ValueError, TypeError):
+            ok = False
+        cols = idx if ok else np.arange(k)
+        out[:, cols] = values
+        return out
+
     def get_embeddings(self, X, data_source: str = "test"):
-        """(1, n, d_model) — TabPFN v2 get_embeddings shape contract."""
-        _, emb = self._run(X)
-        return emb[None]
+        """(1, n, d) query representations — TabPFN v2 get_embeddings
+        shape contract (reference tabel_test.py:70 indexes [0]).
+
+        `embedding_kind` controls the representation:
+
+        - 'rich' (default): view-averaged final hidden state (d_model)
+          ++ canonical view-mean class logits (max_classes)
+          ++ cosine similarity of the query state to per-class context
+          prototypes (max_classes). The class-logit and prototype blocks
+          are CANONICAL coordinates — identical meaning across the K-fold
+          refits of the OoF harness — whereas raw hidden states drift with
+          each refit's preprocessing/screen choices; a downstream linear
+          model (reference tabel_test.py:166-185 trains an SVM across
+          folds) needs those stable columns.
+        - 'compact': the canonical blocks only (2·max_classes dims) — the
+          fold-stable evidence without the hidden state; measured on the
+          reference's clinical table the hidden block adds nothing to a
+          downstream linear model and its 256 drifting dims dilute the
+          SVM (benchmarks/ADNI_TABULAR.md), so ensemble embedders default
+          to this.
+        - 'hidden': the identity view's final hidden state only (the
+          pre-round-4 behavior).
+        """
+        kind = getattr(self, "embedding_kind", "rich")
+        if kind == "hidden":
+            _, emb = self._run(X)
+            return emb[:1]
+        if kind not in ("rich", "compact"):
+            raise ValueError(f"unknown embedding_kind={kind!r}")
+        canon, emb, ctx = self._run(X, want_ctx=True)
+        k = len(self.classes_)
+        logit_mean = self._class_columns(canon.mean(0)[:, :k])
+        # per-class context prototypes from the identity view
+        y_ctx = self._fitted["y_ctx"][0]
+        mask = self._fitted["ctx_mask"][0]
+        protos = np.zeros((k, ctx.shape[1]), np.float32)
+        for c in range(k):
+            w = mask * (y_ctx == c)
+            protos[c] = (ctx * w[:, None]).sum(0) / max(w.sum(), 1.0)
+        q0 = emb[0]  # identity view, same geometry as the prototypes
+        qn = q0 / np.maximum(np.linalg.norm(q0, axis=1, keepdims=True), 1e-6)
+        pn = protos / np.maximum(
+            np.linalg.norm(protos, axis=1, keepdims=True), 1e-6)
+        cos = self._class_columns(qn @ pn.T)
+        blocks = [logit_mean, cos]
+        if kind == "rich":
+            blocks = [emb.mean(0)] + blocks
+        return np.concatenate(blocks, axis=1)[None]

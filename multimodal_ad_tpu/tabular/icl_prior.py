@@ -189,6 +189,11 @@ def _one_task(key, n, F, C, thresholds=(0.22, 0.40, 0.62, 0.74)):
     idx = ((kind >= t1).astype(jnp.int32) + (kind >= t2)
            + (kind >= t3) + (kind >= t4))
     xs = jnp.stack([xs_cl, xs_co, xs_pw, xs_pe, xs_m])[idx]
+    # per-task categorical-column mask (host twin: sample_tasks `cat`):
+    # the cluster and MLP families quantize some columns, others have none
+    zeros_f = jnp.zeros((F,), jnp.float32)
+    cat = jnp.stack([catm_cl.astype(jnp.float32), zeros_f, zeros_f,
+                     zeros_f, catm.astype(jnp.float32)])[idx]
     bk = jax.random.split(jax.random.fold_in(key, 29), 4)
     lab = jnp.stack([lab_cl, _bucket(bk[0], score_co, c, C),
                      _bucket(bk[1], score_pw, c, C),
@@ -203,7 +208,7 @@ def _one_task(key, n, F, C, thresholds=(0.22, 0.40, 0.62, 0.74)):
                      jax.random.uniform(r2, (), minval=0.02, maxval=0.12))
     flip = jax.random.uniform(fk, (n,)) < rate
     lab = jnp.where(flip, jax.random.randint(fl, (n,), 0, c), lab)
-    return xs, lab
+    return xs, lab, cat
 
 
 def _one_reg_task(key, n, F):
@@ -279,8 +284,8 @@ def sample_tasks_device(key, batch: int, cfg: ICLConfig, n_ctx: int,
     thresholds = _mix_thresholds(DEFAULT_FAMILY_MIX if mix is None else mix)
     n = n_ctx + n_qry
     kt, kv = jax.random.split(key)
-    x, y = jax.vmap(lambda k: _one_task(k, n, cfg.max_features,
-                                        cfg.max_classes, thresholds))(
+    x, y, cat = jax.vmap(lambda k: _one_task(k, n, cfg.max_features,
+                                             cfg.max_classes, thresholds))(
         jax.random.split(kt, batch))
     ctx_mask = jnp.ones((batch, n_ctx), jnp.float32)
     if var_ctx and n_ctx > 16:
@@ -289,4 +294,5 @@ def sample_tasks_device(key, batch: int, cfg: ICLConfig, n_ctx: int,
     x_ctx = x[:, :n_ctx] * ctx_mask[..., None]
     y_ctx = (y[:, :n_ctx] * ctx_mask.astype(jnp.int32))
     return {"x_ctx": x_ctx, "y_ctx": y_ctx, "ctx_mask": ctx_mask,
-            "x_qry": x[:, n_ctx:], "y_qry": y[:, n_ctx:]}
+            "x_qry": x[:, n_ctx:], "y_qry": y[:, n_ctx:],
+            "cat_mask": cat}

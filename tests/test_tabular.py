@@ -264,7 +264,29 @@ class TestICLClassifier:
         X, y = separable_data(seed=5)
         clf = ICLClassifier(params=tiny_params, cfg=TINY).fit(X, y)
         emb = clf.get_embeddings(X[:7])
-        assert emb.shape == (1, 7, TINY.d_model)
+        # rich default: hidden state ++ canonical logits ++ prototype cos
+        assert emb.shape == (1, 7, TINY.d_model + 2 * TINY.max_classes)
+        legacy = ICLClassifier(params=tiny_params, cfg=TINY,
+                               embedding_kind="hidden").fit(X, y)
+        assert legacy.get_embeddings(X[:7]).shape == (1, 7, TINY.d_model)
+
+    def test_rich_embedding_class_columns_align_across_refits(self,
+                                                              tiny_params):
+        """OoF refits can see different class subsets; the canonical
+        class blocks must land each class in the SAME column (scatter by
+        integer label)."""
+        X, y = separable_data(seed=6)
+        full = ICLClassifier(params=tiny_params, cfg=TINY).fit(X, y)
+        d = TINY.d_model
+        # fit on one class only: its logit column must be the label value
+        one = ICLClassifier(params=tiny_params, cfg=TINY).fit(
+            X[y == 1], y[y == 1])
+        e1 = one.get_embeddings(X[:5])[0]
+        ef = full.get_embeddings(X[:5])[0]
+        assert e1.shape[1] == ef.shape[1]
+        # class-1 logit block column d+1 is populated, column d+0 is zero
+        assert np.all(e1[:, d + 0] == 0.0)
+        assert np.any(e1[:, d + 1] != 0.0)
 
     def test_view_ensemble_averages_permuted_views(self, tiny_params):
         """n_estimators>1 averages softmax over feature/class-permuted
@@ -534,15 +556,38 @@ class TestOoFEmbedding:
 
         # vanilla mode embeds the third argument (X) regardless of
         # data_source — reference tabpfn_embedding.py:124-126 semantics
+        d_rich = TINY.d_model + 2 * TINY.max_classes
         emb0 = OoFEmbedding(clf, n_fold=0)
         tr0 = emb0.get_embeddings(X, y, Xte, data_source="train")
-        assert tr0.shape == (1, 20, TINY.d_model)
+        assert tr0.shape == (1, 20, d_rich)
 
         emb5 = OoFEmbedding(clf, n_fold=3)
         tr5 = emb5.get_embeddings(X, y, Xte, data_source="train")
         te5 = emb5.get_embeddings(X, y, Xte, data_source="test")
-        assert tr5.shape == (1, 60, TINY.d_model)  # concat of 3 folds
-        assert te5.shape == (1, 20, TINY.d_model)
+        assert tr5.shape == (1, 60, d_rich)  # concat of 3 folds
+        assert te5.shape == (1, 20, d_rich)
+
+    def test_ensemble_embedder_contract(self, tiny_params):
+        """Diversity-ensemble embedder: member embeddings concatenate and
+        the result drops into the OoF harness (round-4 embedding-quality
+        fix — see benchmarks/ADNI_TABULAR.md)."""
+        from multimodal_ad_tpu.tabular.embedding import EnsembleICLEmbedder
+
+        X, y = separable_data(n=60, seed=8)
+        specs = ({"preprocess": None, "seed": 0},
+                 {"preprocess": "quantile", "seed": 1})
+        emb = EnsembleICLEmbedder(specs=specs, cfg=TINY, params=tiny_params)
+        oof = OoFEmbedding(emb, n_fold=2)
+        d = 2 * 2 * TINY.max_classes  # 2 members x compact (2*max_classes)
+        tr = oof.get_embeddings(X, y, X[:10], "train")
+        te = oof.get_embeddings(X, y, X[:10], "test")
+        assert tr.shape == (1, 60, d)
+        assert te.shape == (1, 10, d)
+        # compact embeddings must carry the class signal for a linear model
+        from sklearn.linear_model import LogisticRegression
+
+        clf = LogisticRegression(max_iter=500).fit(tr[0], y)
+        assert clf.score(te[0], y[:10]) >= 0.8
 
     def test_nfold_one_rejected(self, tiny_params):
         emb = OoFEmbedding(ICLClassifier(params=tiny_params, cfg=TINY), n_fold=1)
@@ -578,7 +623,8 @@ class TestPipelines:
         tr = pd.read_csv(tr_out)
         assert tr.columns[0] == "label"
         assert set(tr["label"]) <= {"CN", "AD"}  # original strings
-        assert tr.shape[1] == 1 + 32  # label + d_model dims
+        # label + rich embedding dims (d_model + 2*max_classes)
+        assert tr.shape[1] == 1 + 32 + 2 * 4
 
         acc = quick_eval_from_saved(tr_out, te_out)
         assert 0.0 <= acc <= 1.0
