@@ -388,9 +388,15 @@ def image_encoder(depth=18, in_channels=1, shortcut_type="B",
 def generate_model(model_type="resnet", model_depth=18, resnet_shortcut="B",
                    nb_class=2, dropout_rate=0.5, in_channels=1,
                    compute_dtype=jnp.bfloat16, param_dtype=jnp.float32,
-                   **_ignored):
+                   s2d_stem=True, **_ignored):
     """Config-driven factory (reference train_ResNet3D.py:44-84 semantics,
-    minus device placement — JAX handles that via sharding)."""
+    minus device placement — JAX handles that via sharding).
+
+    ``s2d_stem=False`` selects the naive 7^3/s2 stem — slower on the MXU
+    but free of the space-to-depth divisibility rule, so a volume axis can
+    be spatially sharded to ANY degree (parallel/mesh.py spatial_sharding
+    layout note). The parameter layout is identical either way, so the two
+    stems are checkpoint-compatible."""
     assert model_type == "resnet"
     assert model_depth in DEPTH_BLOCKS
     return ResNet3D(
@@ -402,4 +408,5 @@ def generate_model(model_type="resnet", model_depth=18, resnet_shortcut="B",
         dropout_rate=dropout_rate,
         dtype=compute_dtype,
         param_dtype=param_dtype,
+        s2d_stem=s2d_stem,
     )

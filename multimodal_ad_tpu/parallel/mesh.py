@@ -127,11 +127,16 @@ def spatial_sharding(mesh: Mesh, axis: str = "data",
     easily); provided as the scale-up path for higher-resolution imaging.
 
     Layout note: with the default space-to-depth ResNet stem
-    (``ResNet3D(s2d_stem=True)``), keep the per-shard extent of the
-    sharded axis divisible by the s2d factor (4) — e.g. shard degree 2-4
-    on MNI-scale axes — so the stem's reshape stays shard-local. A split
-    fine enough to break that divisibility turns every stem activation
-    into a global reshard (collective traffic instead of halo exchange).
+    (``ResNet3D(s2d_stem=True)``), keep the PER-SHARD extent of the
+    sharded axis even, so the stem's phase-pairing reshape (adjacent
+    voxel pairs -> channels) stays shard-local; an odd per-shard extent
+    splits phase pairs across shard boundaries and turns the stem reshape
+    into a reshard. Measured: an 8-way split of X=16 (per-shard 2) runs
+    the same halo-exchange program as the naive stem, numerics equal to
+    the unsharded forward (tests/test_sharding.py::Test2DMesh). For
+    arbitrary split degrees on odd extents, build the model with
+    ``s2d_stem=False`` (checkpoint-compatible — see
+    models/resnet3d.generate_model).
     """
     spec = [None] * 5
     spec[spatial_dim] = axis
