@@ -230,3 +230,28 @@ class EnsemblePredictor:
         if proba.shape[1] == 2:
             return (proba[:, 1] > 0.5).astype(np.int32)
         return np.argmax(proba, axis=1).astype(np.int32)
+
+
+def evaluate_records(predictor: EnsemblePredictor, records) -> dict:
+    """Held-out AUC/ACC of a fold-ensemble predictor on manifest records
+    ({'MRI': path, 'label': int} — data/adni.py) — the serving-side twin of
+    train/cv.py::test_models' metrics (reference test.py:107-209 evaluation
+    with the prob>0.5 binary decision rule, train_ResNet3D.py:388). Used to
+    prove end-to-end that int8 quantization preserves a TRAINED ensemble's
+    test AUC, not just per-logit tolerances on random weights."""
+    from sklearn.metrics import accuracy_score, roc_auc_score
+
+    from .utils import nifti
+
+    vols = np.stack([
+        nifti.load(nifti.exists_with_ext(r["MRI"]) or r["MRI"])
+        for r in records])
+    y = np.asarray([r["label"] for r in records])
+    proba = predictor.predict_proba(vols)
+    if proba.shape[1] == 2:
+        auc = roc_auc_score(y, proba[:, 1])
+        pred = (proba[:, 1] > 0.5).astype(int)
+    else:
+        auc = roc_auc_score(y, proba, multi_class="ovr")
+        pred = proba.argmax(-1)
+    return {"AUC": float(auc), "ACC": float(accuracy_score(y, pred))}

@@ -50,7 +50,37 @@ def run_learning_proof(work_dir: str):
     results, ckpt_dir = train_cv(cfg, mesh=mesh, verbose=False)
     with open(os.path.join(ckpt_dir, "cv_results.csv")) as f:
         rows = list(csv.reader(f))
-    return results, ckpt_dir, rows
+    return results, ckpt_dir, rows, cfg
+
+
+def check_int8_parity(cfg, ckpt_dir, tol: float = 0.01):
+    """End-to-end int8 accuracy proof (round-3 verdict weak #3): quantize
+    the TRAINED fold ensemble and require held-out test AUC within `tol`
+    of the fp path — the serving parity claim (SERVING.md) measured on the
+    same split train_cv tested on, not on synthetic bench volumes.
+    Returns ({'AUC', 'ACC'} fp, same int8)."""
+    import numpy as np
+
+    from multimodal_ad_tpu.data.adni import ADNIManifest
+    from multimodal_ad_tpu.data.splits import stratified_test_split
+    from multimodal_ad_tpu.serve import EnsemblePredictor, evaluate_records
+    from multimodal_ad_tpu.utils import nifti
+
+    records = ADNIManifest(cfg.label_file, cfg.mri_dir, cfg.task,
+                           verbose=False).data_dict
+    tr_val, test_data = stratified_test_split(records, cfg.split_ratio,
+                                              cfg.seed)
+    pred = EnsemblePredictor.from_checkpoint_dir(ckpt_dir)
+    fp = evaluate_records(pred, test_data)
+    # calibrate on TRAIN volumes — the serving-traffic distribution
+    cal = np.stack([
+        nifti.load(nifti.exists_with_ext(r["MRI"]) or r["MRI"])
+        for r in tr_val[:4]])
+    pred.quantize_int8(cal)
+    q8 = evaluate_records(pred, test_data)
+    assert abs(q8["AUC"] - fp["AUC"]) <= tol, (
+        f"int8 test AUC {q8['AUC']:.4f} drifted from fp {fp['AUC']:.4f}")
+    return fp, q8
 
 
 def check_learning(results, rows):
@@ -75,8 +105,11 @@ def check_learning(results, rows):
 
 @pytest.mark.slow
 def test_flagship_cv_learns_separable_volumes(tmp_path):
-    results, _, rows = run_learning_proof(str(tmp_path))
+    results, ckpt_dir, rows, cfg = run_learning_proof(str(tmp_path))
     check_learning(results, rows)
+    # int8 serving preserves the trained ensemble's held-out AUC
+    fp, q8 = check_int8_parity(cfg, ckpt_dir)
+    assert fp["AUC"] >= 0.85  # parity only meaningful on a learned model
 
 
 @pytest.mark.slow
@@ -126,8 +159,9 @@ if __name__ == "__main__":
     import tempfile
 
     work = tempfile.mkdtemp(prefix="learning_proof_")
-    results, ckpt_dir, rows = run_learning_proof(work)
+    results, ckpt_dir, rows, cfg = run_learning_proof(work)
     check_learning(results, rows)
+    fp, q8 = check_int8_parity(cfg, ckpt_dir)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(repo, "artifacts", "learning_proof")
@@ -137,9 +171,13 @@ if __name__ == "__main__":
     with open(os.path.join(out, "summary.json"), "w") as f:
         json.dump({
             "test_avg": results["avg"], "test_std": results["std"],
+            "int8_parity": {"fp": fp, "int8": q8,
+                            "assertion": "|int8 AUC - fp AUC| <= 0.01 on "
+                                         "the trained fold ensemble"},
             "config": "tests/test_learning.py::run_learning_proof",
             "assertions": "train loss falls; final val AUC >= 0.9 per fold; "
                           "test AUC >= 0.85; test ACC >= 0.7",
         }, f, indent=2)
     print("artifact written to", out)
     print("test avg:", results["avg"])
+    print("int8 parity:", fp, q8)
