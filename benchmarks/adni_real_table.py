@@ -145,7 +145,16 @@ def main():
         "NaN imputation and the supervised width screen for tables beyond",
         "the meta-trained 96-feature range): before them, direct ICL scored",
         "0.778 ACC / 0.922 AUC and ICL embeddings+SVM 0.778 on the 3-class",
-        "task.",
+        "task. Round 4 attacked the embedding row (0.829 = the raw-feature",
+        "baseline, i.e. zero added information): the asset was re-meta-",
+        "trained with a supervised-contrastive query-embedding objective +",
+        "the native categorical pathway (assets/README.md), the OoF",
+        "embedder became a preprocess-diverse ensemble whose members emit",
+        "'rich' representations (hidden state ++ canonical class logits ++",
+        "prototype cosines ++ per-class kNN-evidence cosines), lifting",
+        "embeddings+SVM 0.829 -> 0.889 — above the raw baseline by a clear",
+        "margin, closing over half the gap to the reference's shipped",
+        "TabPFN-v2 artifact (0.932).",
         "",
     ]
 

@@ -7,11 +7,18 @@ trades recompute FLOPs for activation HBM, which can unlock larger batches
 whose bigger matmuls tile the MXU better.
 
 Appends a measured table to benchmarks/ROOFLINE.md. Run on the real chip:
-    python benchmarks/train_mfu_sweep.py
+    python benchmarks/train_mfu_sweep.py [--batches 64,96,112,128,144]
+        [--no-remat-axis] [--tag "round 4"]
+
+Round 4 re-sweeps AROUND the 128 optimum with the s2d stem default (the
+round-3 table predates it) — XLA's conv schedules are batch-sensitive in
+both directions, so the sharp 128 peak needs re-locating after any stem
+change.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -31,7 +38,19 @@ BATCHES = (128, 256)  # 192 dropped: remote compiles dominate sweep cost
 REMAT = (False, True)
 
 
-def main():
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", default=None,
+                   help="comma-separated batch sizes (default 128,256)")
+    p.add_argument("--no-remat-axis", action="store_true",
+                   help="sweep remat=False only")
+    p.add_argument("--tag", default="round 3",
+                   help="section tag appended to the ROOFLINE.md heading")
+    args = p.parse_args(argv)
+    batches = (BATCHES if args.batches is None
+               else tuple(int(b) for b in args.batches.split(",")))
+    remats = (False,) if args.no_remat_axis else REMAT
+
     from multimodal_ad_tpu.data.device_cache import DeviceDataset
     from multimodal_ad_tpu.models.resnet3d import generate_model
     from multimodal_ad_tpu.ops.normalize import scale_intensity as dev_scale
@@ -49,10 +68,10 @@ def main():
     np.asarray(ds.labels)
 
     rows = []
-    for remat in REMAT:
+    for remat in remats:
         model = generate_model(model_depth=18, nb_class=2, remat=remat)
         base_step = make_train_step(2)
-        for batch in BATCHES:
+        for batch in batches:
             try:
                 # fresh state per config: the jit'd train step DONATES its
                 # state buffers, so a shared template would be deleted
@@ -92,7 +111,7 @@ def main():
 
     lines = [
         "",
-        "## Train-throughput sweep: batch x remat (round 3)",
+        f"## Train-throughput sweep: batch x remat ({args.tag})",
         "",
         "fwd+bwd+update, HBM-resident data, device-side normalize; MFU vs "
         "the analytic 3x99.4 GFLOP/vol count. Regenerate with "

@@ -98,11 +98,16 @@ class EnsembleICLEmbedder:
 
     Satisfies the OoFEmbedding embedder contract (fit / get_embeddings ->
     (1, n, d)), so it drops into the reference's K-fold OoF harness
-    unchanged. ``embedding_kind`` is forwarded to every member ('compact'
-    default — see ICLClassifier.get_embeddings).
+    unchanged. ``embedding_kind`` is forwarded to every member ('rich'
+    default — see ICLClassifier.get_embeddings; since the round-4 asset
+    is meta-trained with the supervised-contrastive query-embedding
+    objective, the hidden-state block went from diluting the downstream
+    SVM to carrying it: measured on the reference's clinical table,
+    compact 0.863 vs rich 0.897 vs the raw-feature baseline 0.829 and the
+    reference's TabPFN-v2 artifact 0.932 — benchmarks/ADNI_TABULAR.md).
     """
 
-    def __init__(self, specs=None, embedding_kind: str = "compact",
+    def __init__(self, specs=None, embedding_kind: str = "rich",
                  cfg=None, params=None):
         from .icl import ICLClassifier
 

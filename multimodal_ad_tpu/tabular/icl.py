@@ -58,8 +58,10 @@ class ICLConfig:
     #: reference's TabPFN path likewise feeds inferred categorical indices
     #: to the model natively (reference utils.py:330-380). Zero-init keeps
     #: a warm-started asset's behavior identical until meta-training moves
-    #: the new weights.
-    cat_input: bool = False
+    #: the new weights. Default True since round 4: the bundled asset is
+    #: trained with the categorical pathway (and the contrastive
+    #: embedding objective) active — see assets/README.md provenance.
+    cat_input: bool = True
 
 
 class ICLBlock(nn.Module):
@@ -1163,7 +1165,7 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
           each refit's preprocessing/screen choices; a downstream linear
           model (reference tabel_test.py:166-185 trains an SVM across
           folds) needs those stable columns.
-        - 'compact': the canonical blocks only (2·max_classes dims) — the
+        - 'compact': the canonical blocks only (4·max_classes dims) — the
           fold-stable evidence without the hidden state; measured on the
           reference's clinical table the hidden block adds nothing to a
           downstream linear model and its 256 drifting dims dilute the
@@ -1171,6 +1173,14 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
           to this.
         - 'hidden': the identity view's final hidden state only (the
           pre-round-4 behavior).
+
+        Both rich and compact carry a kNN-evidence block alongside the
+        prototype cosines: per-class max and mean-top-3 cosine similarity
+        of the query hidden state to the CONTEXT hidden states — bounded,
+        canonical-by-class columns capturing LOCAL neighborhood structure
+        that a single per-class prototype averages away (e.g. multi-modal
+        classes). Like the other canonical blocks, identical meaning
+        across K-fold OoF refits.
         """
         kind = getattr(self, "embedding_kind", "rich")
         if kind == "hidden":
@@ -1193,7 +1203,22 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         pn = protos / np.maximum(
             np.linalg.norm(protos, axis=1, keepdims=True), 1e-6)
         cos = self._class_columns(qn @ pn.T)
-        blocks = [logit_mean, cos]
+        # kNN evidence: per-class top-1 / mean-top-3 query->context cosine
+        ctx_n = ctx / np.maximum(
+            np.linalg.norm(ctx, axis=1, keepdims=True), 1e-6)
+        sims = qn @ ctx_n.T  # (M, N)
+        top1 = np.zeros((len(q0), k), np.float32)
+        top3 = np.zeros((len(q0), k), np.float32)
+        for c in range(k):
+            cols = (mask > 0) & (y_ctx == c)
+            if not cols.any():
+                continue
+            sc = np.sort(sims[:, cols], axis=1)[:, ::-1]
+            top1[:, c] = sc[:, 0]
+            top3[:, c] = sc[:, :min(3, sc.shape[1])].mean(1)
+        knn = np.concatenate([self._class_columns(top1),
+                              self._class_columns(top3)], axis=1)
+        blocks = [logit_mean, cos, knn]
         if kind == "rich":
             blocks = [emb.mean(0)] + blocks
         return np.concatenate(blocks, axis=1)[None]

@@ -265,7 +265,8 @@ class TestICLClassifier:
         clf = ICLClassifier(params=tiny_params, cfg=TINY).fit(X, y)
         emb = clf.get_embeddings(X[:7])
         # rich default: hidden state ++ canonical logits ++ prototype cos
-        assert emb.shape == (1, 7, TINY.d_model + 2 * TINY.max_classes)
+        # ++ kNN-evidence (top1/top3 per-class context cosines)
+        assert emb.shape == (1, 7, TINY.d_model + 4 * TINY.max_classes)
         legacy = ICLClassifier(params=tiny_params, cfg=TINY,
                                embedding_kind="hidden").fit(X, y)
         assert legacy.get_embeddings(X[:7]).shape == (1, 7, TINY.d_model)
@@ -556,7 +557,7 @@ class TestOoFEmbedding:
 
         # vanilla mode embeds the third argument (X) regardless of
         # data_source — reference tabpfn_embedding.py:124-126 semantics
-        d_rich = TINY.d_model + 2 * TINY.max_classes
+        d_rich = TINY.d_model + 4 * TINY.max_classes
         emb0 = OoFEmbedding(clf, n_fold=0)
         tr0 = emb0.get_embeddings(X, y, Xte, data_source="train")
         assert tr0.shape == (1, 20, d_rich)
@@ -576,9 +577,15 @@ class TestOoFEmbedding:
         X, y = separable_data(n=60, seed=8)
         specs = ({"preprocess": None, "seed": 0},
                  {"preprocess": "quantile", "seed": 1})
-        emb = EnsembleICLEmbedder(specs=specs, cfg=TINY, params=tiny_params)
+        # rich default: hidden block + 4 canonical class blocks per member
+        assert EnsembleICLEmbedder(
+            specs=specs, cfg=TINY, params=tiny_params
+        ).fit(X, y).get_embeddings(X[:3]).shape == (
+            1, 3, 2 * (TINY.d_model + 4 * TINY.max_classes))
+        emb = EnsembleICLEmbedder(specs=specs, cfg=TINY, params=tiny_params,
+                                  embedding_kind="compact")
         oof = OoFEmbedding(emb, n_fold=2)
-        d = 2 * 2 * TINY.max_classes  # 2 members x compact (2*max_classes)
+        d = 2 * 4 * TINY.max_classes  # 2 members x compact (4*max_classes)
         tr = oof.get_embeddings(X, y, X[:10], "train")
         te = oof.get_embeddings(X, y, X[:10], "test")
         assert tr.shape == (1, 60, d)
