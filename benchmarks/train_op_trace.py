@@ -3,20 +3,25 @@ item 7: attribute every remaining millisecond of the train-MFU gap).
 
 Captures a jax.profiler device trace around timed train steps at the
 production operating point (batch 128, HBM-resident data, s2d stem),
-parses the xplane protobuf with tensorboard_plugin_profile's hlo-stats
-converter, and writes the top self-time HLO ops to
-benchmarks/TRAIN_OP_TRACE.md — the measured (not cost-model) breakdown of
-where the step's wall time goes: dilated-stage convs vs backward glue
-(BN statistic grads, stem/stage-1/2) vs VPU fusions.
+parses the Chrome-trace export the TPU runtime writes next to the xplane
+protobuf (this image's tensorboard_plugin_profile converter is broken:
+its _pywrap_profiler build lacks xspace_to_tools_data), and writes the
+measured per-op / per-grid breakdown to benchmarks/TRAIN_OP_TRACE.md —
+where the step's wall time actually goes: dilated-stage convs vs backward
+glue (BN statistic grads, stem/stage-1/2, maxpool backward) vs VPU
+fusions.
 
 Run on the real chip: python benchmarks/train_op_trace.py
 """
 
 from __future__ import annotations
 
+import collections
 import glob
+import gzip
 import json
 import os
+import re
 import sys
 import time
 
@@ -78,27 +83,49 @@ def run_steps(trace_dir: str) -> float:
     return wall
 
 
-def parse_hlo_stats(trace_dir: str):
-    """xplane.pb -> list of dicts (one per HLO op) via the tensorboard
-    profile plugin's hlo_stats tool."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+def load_device_ops(trace_dir: str):
+    """Chrome-trace export -> list of XLA-op events on the device's
+    'XLA Ops' lane, each with dur (us) and the runtime's per-op args
+    (hlo_category, model_flops [MACs for convs], bytes, long_name)."""
+    traces = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not traces:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(traces[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    # resolve the device pid and its 'XLA Ops' tid from metadata events
+    dev_pid = next(e["pid"] for e in ev if e.get("ph") == "M"
+                   and e["name"] == "process_name"
+                   and "TPU" in e["args"]["name"])
+    ops_tid = next(e["tid"] for e in ev if e.get("ph") == "M"
+                   and e.get("pid") == dev_pid
+                   and e["name"] == "thread_name"
+                   and e["args"]["name"] == "XLA Ops")
+    return [e for e in ev if e.get("ph") == "X" and e.get("pid") == dev_pid
+            and e.get("tid") == ops_tid]
 
-    xplanes = glob.glob(os.path.join(
-        trace_dir, "plugins", "profile", "*", "*.xplane.pb"))
-    if not xplanes:
-        raise FileNotFoundError(f"no xplane.pb under {trace_dir} — the "
-                                "tunnel may not export device traces")
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    rows = json.loads(data)
-    # gviz table: first entry carries cols, rest rows — handle both layouts
-    if isinstance(rows, dict):
-        cols = [c["label"] for c in rows["cols"]]
-        out = [dict(zip(cols, [c["v"] for c in r["c"]]))
-               for r in rows["rows"]]
-        return out
-    return rows
+
+GRID_BUCKETS = [
+    (r"46,55,46", "stem grid 46x55x46 (stem conv f+b, BN, relu, pool fwd)"),
+    (r"23,28,23", "stage1 grid 23x28x23 (64ch convs f+b + glue)"),
+    (r"12,14,12,512", "stage3/4 grid 12x14x12 c512 (dilated convs f+b)"),
+    (r"12,14,12,256", "stage2/3 grid 12x14x12 c256"),
+    (r"12,14,12,128", "stage2 grid 12x14x12 c128"),
+    (r"12,14,12", "grid 12x14x12 (other widths)"),
+    (r"91,109,91", "full volume 91x109x91 (gather + normalize + s2d)"),
+]
+
+
+def bucket(e) -> str:
+    args = e.get("args", {})
+    if args.get("hlo_category") == "select-and-scatter":
+        return "maxpool backward (select-and-scatter)"
+    ln = args.get("long_name", "")
+    for pat, lab in GRID_BUCKETS:
+        if re.search(pat, ln):
+            return lab
+    return f"other: {args.get('hlo_category', '?')}"
 
 
 def main():
@@ -107,65 +134,73 @@ def main():
     print("devices:", jax.devices())
     run_steps(trace_dir)
 
-    try:
-        ops = parse_hlo_stats(trace_dir)
-    except Exception as e:
-        print(f"hlo_stats parse failed ({e}); falling back to raw tool "
-              "list")
-        raise
+    ops = load_device_ops(trace_dir)
+    total = sum(e["dur"] for e in ops)
 
-    # normalize column names across plugin versions
-    def col(r, *names, default=0.0):
-        for n in names:
-            for k in r:
-                if n.lower() in k.lower():
-                    return r[k]
-        return default
-
+    by_cat = collections.defaultdict(float)
+    by_grid = collections.defaultdict(lambda: [0.0, 0.0])
     agg = {}
-    for r in ops:
-        cat = str(col(r, "category", default="?"))
-        name = str(col(r, "hlo op expression", "hlo op name", "op name",
-                       default="?"))[:90]
-        t = float(col(r, "total self time (us)", "self time",
-                      default=0.0) or 0.0)
-        occ = int(col(r, "occurrences", "#occurrences", default=1) or 1)
-        key = (cat, name)
-        a = agg.setdefault(key, [0.0, 0])
-        a[0] += t
-        a[1] += occ
-    total = sum(a[0] for a in agg.values())
-    top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:40]
-
-    by_cat = {}
-    for (cat, _), (t, _) in agg.items():
-        by_cat[cat] = by_cat.get(cat, 0.0) + t
+    for e in ops:
+        args = e.get("args", {})
+        fl = float(args.get("model_flops") or 0)
+        by_cat[args.get("hlo_category", "?")] += e["dur"]
+        g = by_grid[bucket(e)]
+        g[0] += e["dur"]
+        g[1] += fl
+        a = agg.setdefault(e["name"], [0.0, 0, args])
+        a[0] += e["dur"]
+        a[1] += 1
 
     lines = [
         "# Measured per-op device-time trace: flagship train step",
         "",
         f"jax.profiler device trace over {STEPS} train steps (batch "
         f"{BATCH}, volume {VOL_SHAPE}, s2d stem, HBM-resident data) on one "
-        "v5e chip, parsed with tensorboard_plugin_profile hlo_stats. "
-        "Self-time microseconds summed across the trace; regenerate with "
+        "v5e chip, parsed from the runtime's Chrome-trace export. "
+        "Self-time microseconds summed across the trace. `model_flops` is "
+        "the runtime's per-op count (MACs for convolutions — the eq. "
+        "TFLOP/s column doubles it). Regenerate: "
         "`python benchmarks/train_op_trace.py`.",
         "",
-        "## Device time by op category",
+        f"Total device self time: **{total / 1e3 / STEPS:.1f} ms/step**.",
         "",
-        "| category | ms | % |",
+        "## Device time by spatial grid",
+        "",
+        "| where | ms/step | % | eq. TFLOP/s |",
+        "|---|---|---|---|",
+    ]
+    for lab, (d, fl) in sorted(by_grid.items(), key=lambda kv: -kv[1][0]):
+        tf = 2 * fl / (d * 1e-6) / 1e12 if d else 0.0
+        lines.append(f"| {lab} | {d / 1e3 / STEPS:.2f} | "
+                     f"{100 * d / total:.1f}% | {tf:.1f} |")
+    lines += [
+        "",
+        "## Device time by HLO category",
+        "",
+        "| category | ms/step | % |",
         "|---|---|---|",
     ]
-    for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-        lines.append(f"| {cat} | {t / 1e3:.2f} | {100 * t / total:.1f}% |")
+    for cat, d in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        if d / total < 0.001:
+            continue
+        lines.append(f"| {cat} | {d / 1e3 / STEPS:.2f} | "
+                     f"{100 * d / total:.1f}% |")
     lines += [
         "",
         "## Top HLO ops by self time",
         "",
-        "| category | op | ms | n |",
-        "|---|---|---|---|",
+        "| op | ms/step | n/step | category | eq. TFLOP/s | GB/s |",
+        "|---|---|---|---|---|---|",
     ]
-    for (cat, name), (t, occ) in top:
-        lines.append(f"| {cat} | `{name}` | {t / 1e3:.2f} | {occ} |")
+    for name, (d, n, args) in sorted(
+            agg.items(), key=lambda kv: -kv[1][0])[:30]:
+        fl = float(args.get("model_flops") or 0) * n
+        byt = float(args.get("raw_bytes_accessed") or 0) * n
+        tf = 2 * fl / (d * 1e-6) / 1e12 if d else 0.0
+        gbs = byt / (d * 1e-6) / 1e9 if d else 0.0
+        lines.append(
+            f"| `{name}` | {d / 1e3 / STEPS:.2f} | {n // STEPS} | "
+            f"{args.get('hlo_category', '?')} | {tf:.1f} | {gbs:.0f} |")
     lines.append("")
 
     out = os.path.join(REPO, "benchmarks", "TRAIN_OP_TRACE.md")
