@@ -71,12 +71,18 @@ TabPFNEmbedding = OoFEmbedding
 #: search would re-pick transforms fold by fold and scramble the columns
 #: a downstream linear model trains across).
 DEFAULT_MEMBER_SPECS = (
-    {"preprocess": None, "seed": 0},
-    {"preprocess": "whiten", "seed": 1},
-    {"preprocess": "quantile", "seed": 2},
-    {"preprocess": "pairs", "seed": 3},
-    {"preprocess": None, "seed": 4, "screen_features": 32},
-    {"preprocess": "quantile", "seed": 5, "screen_features": 32},
+    # n_estimators pinned to 4: the committed embedding benchmarks
+    # (ADNI_TABULAR.md 0.889, ICL_QUALITY.md) were measured with 4-view
+    # members, and the member recipe freezes representation geometry —
+    # the classifier-path default (8 since round 4) must not drift it.
+    {"preprocess": None, "seed": 0, "n_estimators": 4},
+    {"preprocess": "whiten", "seed": 1, "n_estimators": 4},
+    {"preprocess": "quantile", "seed": 2, "n_estimators": 4},
+    {"preprocess": "pairs", "seed": 3, "n_estimators": 4},
+    {"preprocess": None, "seed": 4, "screen_features": 32,
+     "n_estimators": 4},
+    {"preprocess": "quantile", "seed": 5, "screen_features": 32,
+     "n_estimators": 4},
 )
 
 

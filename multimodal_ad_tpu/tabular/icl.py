@@ -857,12 +857,17 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
       columns, making multiplicative interactions (XOR/sign-product
       boundaries) directly readable,
     - 'onehot': indicator expansion of low-cardinality integer columns;
-      auto-considered only when such columns are present.
+      under 'auto' it is the BASELINE whenever such columns are detected
+      (the reference natively encodes categoricals unconditionally,
+      tabpfn_extensions/utils.py:330-380) and other kinds must beat it
+      by the selection margin.
 
     The resolved choice lands in `preprocess_` after fit.
 
-    `n_estimators` (default 4, the reference TabPFNClassifier's default —
-    reference utils.py:94) averages predict_proba over that many dataset
+    `n_estimators` (default 8; the reference TabPFNClassifier defaults
+    to 4 — reference utils.py:94 — and 8 measurably helps, e.g.
+    mixed-type +0.8 points, benchmarks/ICL_QUALITY.md) averages
+    predict_proba over that many dataset
     VIEWS: view 0 is the identity; each further view permutes the feature
     columns and the class→label-embedding assignment. The network is not
     exactly permutation-equivariant (feature_proj assigns each column its
@@ -884,7 +889,7 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
                  softmax_temperature: float = 1.0,
                  context_size: int | None = None,
                  preprocess: str | None = "auto",
-                 n_estimators: int = 4,
+                 n_estimators: int = 8,
                  screen_features="auto",
                  embedding_kind: str = "rich"):
         self.params = params
@@ -936,22 +941,31 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         resolve to the earlier candidate, so None wins when transforms
         don't help.
 
-        Two candidate classes with different adoption bars:
+        Adoption bars:
 
-        - rotating/distorting transforms (whiten/quantile/pairs) must clear
-          the identity baseline by a REAL margin (~2 holdout samples):
+        - with categorical columns detected, 'onehot' IS the baseline
+          (not a candidate): native categorical encoding is the
+          reference's unconditional behavior
+          (tabpfn_extensions/utils.py:330-380 infer_categorical_features
+          feeds the model's categorical pathway, never holdout-gated),
+          and the single-holdout gate measurably mis-fires — on the
+          mixed-type family one seed's holdout prefers identity while
+          onehot scores +2.5 points on test (benchmarks/ICL_QUALITY.md).
+          Every other kind must now beat onehot by the margin;
+        - rotating/distorting transforms (whiten/quantile/pairs) must
+          clear the baseline by a REAL margin (~2 holdout samples):
           holdout noise otherwise flips axis-aligned tasks into 'whiten',
-          which rotates their structure away;
-        - 'onehot' is an additive indicator expansion with no rotation
-          risk, so it competes at a raw better-than bar (round-4: lifts
-          mixed-type 0.872 -> 0.881, benchmarks/ICL_QUALITY.md; a probe
-          that averaged TWO holdout splits instead made things worse —
-          the extra split let 'quantile' clear its margin by luck)."""
+          which rotates their structure away. (A probe that averaged TWO
+          holdout splits instead made things worse — the extra split let
+          'quantile' clear its margin by luck.)"""
         from sklearn.model_selection import train_test_split
 
+        from .utils import infer_categorical_features
+
+        base_kind = "onehot" if infer_categorical_features(X) else None
         y = np.asarray(y)
         if len(X) < 24:
-            return None  # too few rows for a meaningful holdout
+            return base_kind  # too few rows for a meaningful holdout
         idx = np.arange(len(X))
         try:
             tr, vl = train_test_split(idx, test_size=0.25,
@@ -959,11 +973,8 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         except ValueError:  # a class with < 2 members
             tr, vl = train_test_split(idx, test_size=0.25,
                                       random_state=self.seed)
-        kinds = [None, "whiten", "quantile"]
-        from .utils import infer_categorical_features
-
-        if infer_categorical_features(X):
-            kinds.append("onehot")  # only meaningful with categorical cols
+        kinds = [base_kind, None, "whiten", "quantile"]
+        kinds = list(dict.fromkeys(kinds))  # drop the duplicate None case
         if X.shape[1] >= 2 and X.shape[1] + 2 <= self._cfg.max_features:
             kinds.append("pairs")  # room for >=1 screened interaction (2 cols)
         scores = {}
@@ -981,13 +992,14 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
             except Exception:
                 continue
         if not scores:
-            return None
+            return base_kind
         margin = max(0.02, 2.0 / max(len(vl), 1))
-        base = scores.get(None, -1.0)
-        best_kind, best_acc = None, base
-        for kind in kinds[1:]:
-            m = 0.0 if kind == "onehot" else margin
-            if scores.get(kind, -1.0) > max(base + m, best_acc):
+        base = scores.get(base_kind, -1.0)
+        best_kind, best_acc = base_kind, base
+        for kind in kinds:
+            if kind == base_kind:
+                continue
+            if scores.get(kind, -1.0) > max(base + margin, best_acc):
                 best_kind, best_acc = kind, scores[kind]
         return best_kind
 

@@ -483,6 +483,29 @@ class TestICLClassifier:
         assert qo.shape == (1, 5)
         np.testing.assert_array_equal(qo[0, 2:], [0, 0, 0])
 
+    def test_auto_defaults_to_onehot_with_categoricals(self, tiny_params):
+        """With categorical columns detected, 'auto' uses onehot as the
+        BASELINE (round-4: the reference encodes categoricals natively and
+        unconditionally, tabpfn_extensions/utils.py:330-380; the previous
+        holdout gate mis-fired on one mixed-type seed where onehot scored
+        +2.5 test points but lost the holdout)."""
+        rng = np.random.default_rng(7)
+        y = rng.integers(0, 2, 120)
+        num = rng.normal(size=(120, 3)).astype(np.float32) + y[:, None]
+        cat = rng.integers(0, 3, size=(120, 2)).astype(np.float32)
+        X = np.concatenate([num, cat], 1)
+        clf = ICLClassifier(params=tiny_params, cfg=TINY).fit(X, y)
+        # a rotating transform may displace onehot only by > margin; on
+        # this easy additive task nothing clears that bar
+        assert clf.preprocess_ == "onehot", clf.preprocess_
+        # the small-data early return keeps the categorical baseline too
+        tiny = ICLClassifier(params=tiny_params, cfg=TINY).fit(X[:20], y[:20])
+        assert tiny.preprocess_ == "onehot", tiny.preprocess_
+        # ... and stays None for all-continuous data
+        cont = ICLClassifier(params=tiny_params, cfg=TINY).fit(
+            num[:20], y[:20])
+        assert cont.preprocess_ is None, cont.preprocess_
+
     def test_pairs_screen_selects_product_interaction(self, tiny_params):
         """The supervised 'pairs' screen finds the one informative product
         (x0*x1 for an XOR label) among all f(f+1)/2 candidates, appends it
