@@ -55,6 +55,14 @@ FC_IN = {10: 512, 18: 512, 34: 512, 50: 2048, 101: 2048, 152: 2048, 200: 2048}
 
 
 def max_pool_3d(x, window=3, stride=2, padding=1):
+    """XLA reduce_window pool (backward = select-and-scatter).
+
+    A dense slice/pad re-expression of the backward exists
+    (ops/pool.py::max_pool_3d_fast) but measured SLOWER end-to-end on the
+    chip (291 vs 315 vols/s train, paired A/B) — select-and-scatter's
+    17.9 ms/step runs at 227 GB/s, ~2.5x off the bandwidth floor, while
+    the dense form reads the stem grid ~50x. Kept as a documented
+    negative result (benchmarks/TRAIN_OP_TRACE.md)."""
     return nn.max_pool(
         x,
         window_shape=(window,) * 3,
