@@ -30,12 +30,24 @@ class DeviceDataset:
     """
 
     def __init__(self, volumes: np.ndarray, labels: np.ndarray, mesh=None,
-                 store_dtype=None):
+                 store_dtype=None, fused_norm: bool = False):
         assert volumes.ndim == 5, "expect (N, X, Y, Z, C)"
         if store_dtype is not None:
             volumes = volumes.astype(store_dtype)
         self.n = volumes.shape[0]
+        self.vol_shape = volumes.shape[1:]
         sharding = replicated(mesh) if mesh is not None else None
+        # fused_norm stores the corpus ONLY as the lane-aligned flat view
+        # the Pallas gather+normalize kernel reads (ops/fused_gather.py):
+        # one HBM layout, both access paths (gather reshapes back).
+        self._vox = None
+        if fused_norm:
+            if not np.issubdtype(volumes.dtype, np.integer):
+                volumes = volumes.astype(np.int16)
+            from ..ops.fused_gather import HAS_PALLAS, flatten_corpus
+
+            if HAS_PALLAS:
+                volumes, self._vox = flatten_corpus(volumes)
         # one-time upload (chunked so the host link isn't held for minutes
         # on big corpora and progress is interruptible)
         chunks = []
@@ -49,12 +61,51 @@ class DeviceDataset:
                        if sharding is not None
                        else jax.device_put(np.asarray(labels, np.int32)))
 
+    def _unflatten(self, flat_rows):
+        """(B, R, 128) flat view -> (B, X, Y, Z, C)."""
+        b = flat_rows.shape[0]
+        return flat_rows.reshape(b, -1)[:, :self._vox].reshape(
+            (b,) + self.vol_shape)
+
     def gather(self, indices):
         """Device-side batch gather; `indices` may be a traced array, so
         this composes into jit'd steps."""
         idx = jnp.asarray(indices)
+        image = jnp.take(self.volumes, idx, axis=0)
+        if self._vox is not None:
+            image = self._unflatten(image)
         return {
-            "image": jnp.take(self.volumes, idx, axis=0),
+            "image": image,
+            "label": jnp.take(self.labels, idx, axis=0),
+            "mask": jnp.ones(idx.shape, jnp.float32),
+        }
+
+    def gather_normalized(self, indices, out_dtype=jnp.float32):
+        """Fused gather + per-volume min-max normalize.
+
+        With ``fused_norm=True`` on a TPU backend this is ONE Pallas pass
+        over the corpus rows (the scalar-prefetched DMA performs the
+        gather, min/max reduce in VMEM, scaled store — the bandwidth
+        floor; ops/fused_gather.py). Elsewhere it is the jitted XLA twin
+        with identical semantics (ops/normalize.py::scale_intensity).
+        Returns the same dict as `gather` with "image" normalized."""
+        idx = jnp.asarray(indices)
+        if self._vox is not None:
+            from ..ops.fused_gather import (gather_normalize_pallas,
+                                            gather_normalize_xla)
+
+            fn = (gather_normalize_pallas
+                  if jax.devices()[0].platform != "cpu"
+                  else gather_normalize_xla)
+            image = self._unflatten(
+                fn(self.volumes, idx, self._vox, out_dtype=out_dtype))
+        else:
+            from ..ops.normalize import scale_intensity
+
+            image = scale_intensity(
+                jnp.take(self.volumes, idx, axis=0)).astype(out_dtype)
+        return {
+            "image": image,
             "label": jnp.take(self.labels, idx, axis=0),
             "mask": jnp.ones(idx.shape, jnp.float32),
         }

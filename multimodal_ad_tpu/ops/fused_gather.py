@@ -48,7 +48,7 @@ def flatten_corpus(volumes: np.ndarray):
     return out.reshape(n, r, LANES), vox
 
 
-def gather_normalize_xla(corpus, indices, vox: int):
+def gather_normalize_xla(corpus, indices, vox: int, out_dtype=jnp.float32):
     """XLA reference path: gather -> per-volume min-max -> scale
     (scale_intensity semantics, ops/normalize.py). The corpus tail is
     padded with an in-volume value (flatten_corpus), so no mask is
@@ -56,14 +56,20 @@ def gather_normalize_xla(corpus, indices, vox: int):
     g = corpus[indices].astype(jnp.float32)  # (B, R, 128)
     mn = jnp.min(g, axis=(1, 2), keepdims=True)
     mx = jnp.max(g, axis=(1, 2), keepdims=True)
-    return jnp.where(mx - mn < 1e-12, 0.0, (g - mn) / (mx - mn + 1e-30))
+    out = jnp.where(mx - mn < 1e-12, 0.0, (g - mn) / (mx - mn + 1e-30))
+    return out.astype(out_dtype)
 
 
 def gather_normalize_pallas(corpus, indices, vox: int,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            out_dtype=jnp.float32):
     """One volume per grid step: the block index map reads the
     scalar-prefetched index vector, so the DMA itself performs the
-    gather; min/max reduce over the VMEM-resident int16 block."""
+    gather; min/max reduce over the VMEM-resident int16 block.
+
+    ``out_dtype=jnp.bfloat16`` halves the write traffic for consumers
+    that cast anyway (the flagship's bf16 stem) — the scale arithmetic
+    stays f32, only the store rounds."""
     n, r, l = corpus.shape
     b = indices.shape[0]
 
@@ -77,7 +83,7 @@ def gather_normalize_pallas(corpus, indices, vox: int,
         hi = jnp.max(x)
         rng_f = hi - lo
         scale = jnp.where(rng_f < 1e-12, 0.0, 1.0 / (rng_f + 1e-30))
-        out_ref[0] = (x - lo) * scale
+        out_ref[0] = ((x - lo) * scale).astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -90,6 +96,6 @@ def gather_normalize_pallas(corpus, indices, vox: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, r, l), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, r, l), out_dtype),
         interpret=interpret,
     )(indices.astype(jnp.int32), corpus)

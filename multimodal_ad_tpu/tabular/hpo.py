@@ -154,9 +154,12 @@ def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
     ``n_finalists`` candidates that beat the default's first-pass mean are
     RE-SCORED (together with the default) on a second, differently-seeded
     CV via ``rescore(trial)``; a candidate is adopted only if its pooled
-    PAIRED per-fold advantage over the default has mean > the standard
-    error of that advantage. ``sign`` is +1 when higher scores are better,
-    -1 for losses (rmse/mse/mae).
+    PAIRED per-fold advantage over the default has mean > TWICE the
+    standard error of that advantage (~95% one-sided — round 4: at 1x SE
+    the guard still false-adopted a trial on the mixed-type family that
+    lost by 0.005 on test; the asymmetric cost — "Tuned must never lose
+    to its own default" — warrants the stricter bar). ``sign`` is +1 when
+    higher scores are better, -1 for losses (rmse/mse/mae).
 
     ``fold_scores`` must be paired: every trial scored on the SAME CV
     splits. Returns the index into ``trials`` of the guarded pick (0 = the
@@ -182,7 +185,7 @@ def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
         if verbose:
             print(f"[hpo guard] finalist {i}: paired advantage "
                   f"{d.mean():+.4f} (se {se:.4f})")
-        if d.mean() > max(se, 1e-6) and d.mean() > best_adv:
+        if d.mean() > max(2.0 * se, 1e-6) and d.mean() > best_adv:
             best_i, best_adv = i, float(d.mean())
     return best_i
 

@@ -22,6 +22,38 @@ class TestDeviceDataset:
         ds = DeviceDataset(vols, np.zeros(4), store_dtype=np.int16)
         assert ds.volumes.dtype == np.int16
 
+    def test_fused_norm_layout_roundtrip(self, rng):
+        """fused_norm=True stores only the lane-aligned flat corpus view;
+        gather must round-trip it exactly and gather_normalized must match
+        ops.normalize.scale_intensity bit-for-bit (on CPU the fused path
+        is the jitted XLA twin of the Pallas kernel)."""
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_ad_tpu.ops.normalize import scale_intensity
+
+        vols = rng.integers(-5, 4000, size=(6, 5, 7, 5, 1)).astype(np.int16)
+        labels = np.arange(6) % 2
+        ds0 = DeviceDataset(vols, labels)
+        ds1 = DeviceDataset(vols, labels, fused_norm=True)
+        idx = np.array([3, 0, 5, 3], np.int32)  # duplicates allowed
+        np.testing.assert_array_equal(np.asarray(ds0.gather(idx)["image"]),
+                                      np.asarray(ds1.gather(idx)["image"]))
+        want = np.asarray(scale_intensity(ds0.gather(idx)["image"]))
+        got = np.asarray(ds1.gather_normalized(idx)["image"])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # non-fused datasets expose the same API (plain gather+normalize)
+        np.testing.assert_allclose(
+            np.asarray(ds0.gather_normalized(idx)["image"]), want, rtol=1e-6)
+        # bf16 output rounds only at the store
+        bf = ds1.gather_normalized(idx, out_dtype=jnp.bfloat16)["image"]
+        assert bf.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(bf, np.float32), want,
+                                   atol=4e-3)
+        # composes into jit (index-traced) like gather does
+        f = jax.jit(lambda i: ds1.gather_normalized(i)["image"])
+        np.testing.assert_allclose(np.asarray(f(idx)), want, rtol=1e-6)
+
     def test_epoch_iterator_padding_and_masks(self, rng):
         vols = rng.normal(size=(7, 6, 6, 6, 1)).astype(np.float32)
         ds = DeviceDataset(vols, np.arange(7) % 2)
