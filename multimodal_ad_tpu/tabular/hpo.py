@@ -142,7 +142,8 @@ def make_from_trial(base_estimator, trial: dict | None):
 
 
 def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
-                      n_finalists: int = 2, verbose: bool = False) -> int:
+                      n_finalists: int = 2, n_rescore: int = 2,
+                      verbose: bool = False) -> int:
     """Selection-bias guard for HPO over noisy CV scores: the default
     config (trials[0] is None) wins unless a searched trial beats it by
     more than the NOISE of the comparison.
@@ -152,38 +153,43 @@ def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
     ~half the time on near-tied spaces (round-3 measured: TunedICL 0.900
     vs plain ICL 0.919 on the cluster family). Guard: the top
     ``n_finalists`` candidates that beat the default's first-pass mean are
-    RE-SCORED (together with the default) on a second, differently-seeded
-    CV via ``rescore(trial)``; a candidate is adopted only if its pooled
-    PAIRED per-fold advantage over the default has mean > TWICE the
-    standard error of that advantage (~95% one-sided — round 4: at 1x SE
-    the guard still false-adopted a trial on the mixed-type family that
-    lost by 0.005 on test; the asymmetric cost — "Tuned must never lose
-    to its own default" — warrants the stricter bar). ``sign`` is +1 when
-    higher scores are better, -1 for losses (rmse/mse/mae).
+    RE-SCORED (together with the default) on ``n_rescore`` fresh,
+    differently-seeded CVs via ``rescore(trial, rep)``; a candidate is
+    adopted only if its PAIRED per-fold advantage over the default ON THE
+    FRESH FOLDS ONLY has mean > TWICE its standard error (~95%
+    one-sided). The first-pass folds are deliberately EXCLUDED from the
+    decision: the finalist was selected *because* it scored high on them,
+    so they carry winner's-curse bias — pooling them in (the round-3
+    form) still false-adopted a mixed-type trial that lost by 0.005 on
+    test even at a 2x-SE bar. The asymmetric cost ("Tuned must never
+    lose to its own default") warrants both the fresh-folds-only rule and
+    the strict multiplier. ``sign`` is +1 when higher scores are better,
+    -1 for losses (rmse/mse/mae).
 
     ``fold_scores`` must be paired: every trial scored on the SAME CV
-    splits. Returns the index into ``trials`` of the guarded pick (0 = the
-    default)."""
-    base = np.asarray(fold_scores[0], np.float64)
+    splits, and ``rescore(trial, rep)`` must use the same splits for every
+    trial at a given ``rep``. Returns the index into ``trials`` of the
+    guarded pick (0 = the default)."""
     means = [float(sign * np.nanmean(s)) for s in fold_scores]
     order = np.argsort(means)[::-1]
     cands = [int(i) for i in order
              if i != 0 and means[i] > means[0]][:n_finalists]
     if not cands:
         return 0
-    base2 = np.asarray(rescore(trials[0]), np.float64)
+    base_fresh = [np.asarray(rescore(trials[0], r), np.float64)
+                  for r in range(n_rescore)]
     best_i, best_adv = 0, 0.0
     for i in cands:
-        extra = np.asarray(rescore(trials[i]), np.float64)
         d = np.concatenate([
-            sign * (np.asarray(fold_scores[i], np.float64) - base),
-            sign * (extra - base2)])
+            sign * (np.asarray(rescore(trials[i], r), np.float64)
+                    - base_fresh[r])
+            for r in range(n_rescore)])
         d = d[np.isfinite(d)]
         if len(d) < 2:
             continue
         se = float(d.std(ddof=1) / np.sqrt(len(d)))
         if verbose:
-            print(f"[hpo guard] finalist {i}: paired advantage "
+            print(f"[hpo guard] finalist {i}: fresh paired advantage "
                   f"{d.mean():+.4f} (se {se:.4f})")
         if d.mean() > max(2.0 * se, 1e-6) and d.mean() > best_adv:
             best_i, best_adv = i, float(d.mean())
@@ -241,8 +247,8 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
 
         pick = guarded_selection(
             trials, fold_scores,
-            rescore=lambda tr: self._cv_scores(X, y, tr,
-                                               self.random_state + 1),
+            rescore=lambda tr, rep: self._cv_scores(
+                X, y, tr, self.random_state + 1 + rep),
             sign=1.0, verbose=self.verbose)
         self.best_params_ = trials[pick]
         self.best_score_ = float(np.nanmean(fold_scores[pick]))

@@ -391,8 +391,8 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
                        for trial in trials]
         pick = guarded_selection(
             trials, fold_scores,
-            rescore=lambda tr: self._cv_scores(X, y, tr,
-                                               self.random_state + 1),
+            rescore=lambda tr, rep: self._cv_scores(
+                X, y, tr, self.random_state + 1 + rep),
             sign=-1.0)  # rmse/mse/mae: lower is better
         self.best_params_ = trials[pick]
         self.best_score_ = float(np.nanmean(fold_scores[pick]))

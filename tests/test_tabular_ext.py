@@ -306,7 +306,7 @@ class TestGuardedSelection:
         calls = []
         pick = guarded_selection(
             [None, {"t": 1}], [[0.9, 0.9, 0.9], [0.7, 0.8, 0.6]],
-            rescore=lambda tr: calls.append(tr) or [0.0],
+            rescore=lambda tr, rep: calls.append(tr) or [0.0],
         )
         assert pick == 0
         assert calls == []  # no finalist -> no re-scoring work
@@ -318,7 +318,19 @@ class TestGuardedSelection:
         rescores = {None: [0.6, 0.6, 0.6], 1: [0.4, 0.9, 0.5]}
         pick = guarded_selection(
             [None, {"t": 1}], [[0.6, 0.6, 0.6], [0.9, 0.4, 0.62]],
-            rescore=lambda tr: rescores[None if tr is None else 1])
+            rescore=lambda tr, rep: rescores[None if tr is None else 1])
+        assert pick == 0
+
+    def test_first_pass_advantage_alone_is_not_trusted(self):
+        """Winner's curse: a big FIRST-PASS advantage (the folds the
+        finalist was selected on) must not drive adoption when the fresh
+        re-scored folds show no advantage."""
+        from multimodal_ad_tpu.tabular.hpo import guarded_selection
+
+        rescores = {None: [0.6, 0.6, 0.6], 1: [0.61, 0.59, 0.6]}
+        pick = guarded_selection(
+            [None, {"t": 1}], [[0.6, 0.6, 0.6], [0.9, 0.9, 0.9]],
+            rescore=lambda tr, rep: rescores[None if tr is None else 1])
         assert pick == 0
 
     def test_consistent_advantage_is_adopted(self):
@@ -327,7 +339,7 @@ class TestGuardedSelection:
         rescores = {None: [0.5, 0.5, 0.5], 1: [0.78, 0.82, 0.8]}
         pick = guarded_selection(
             [None, {"t": 1}], [[0.5, 0.5, 0.5], [0.8, 0.79, 0.81]],
-            rescore=lambda tr: rescores[None if tr is None else 1])
+            rescore=lambda tr, rep: rescores[None if tr is None else 1])
         assert pick == 1
 
     def test_sign_flips_for_losses(self):
@@ -337,13 +349,13 @@ class TestGuardedSelection:
         rescores = {None: [1.0, 1.0], 1: [0.5, 0.55]}
         pick = guarded_selection(
             [None, {"t": 1}], [[1.0, 1.0], [0.5, 0.52]],
-            rescore=lambda tr: rescores[None if tr is None else 1],
+            rescore=lambda tr, rep: rescores[None if tr is None else 1],
             sign=-1.0)
         assert pick == 1
         # candidate consistently HIGHER rmse must never be adopted
         pick = guarded_selection(
             [None, {"t": 1}], [[0.5, 0.5], [1.0, 1.0]],
-            rescore=lambda tr: [0.0], sign=-1.0)
+            rescore=lambda tr, rep: [0.0], sign=-1.0)
         assert pick == 0
 
     def test_nan_folds_are_dropped(self):
@@ -352,7 +364,7 @@ class TestGuardedSelection:
         rescores = {None: [0.5, 0.5, 0.5], 1: [0.8, 0.8, 0.8]}
         pick = guarded_selection(
             [None, {"t": 1}], [[0.5, np.nan, 0.5], [0.8, 0.8, np.nan]],
-            rescore=lambda tr: rescores[None if tr is None else 1])
+            rescore=lambda tr, rep: rescores[None if tr is None else 1])
         assert pick == 1
 
 
