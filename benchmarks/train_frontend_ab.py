@@ -17,6 +17,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -55,6 +56,10 @@ def build(fused: bool):
     cw = replicate(jnp.ones((2,), jnp.float32), mesh)
     base_step = make_train_step(2)
 
+    # the WHOLE step is jitted (matching bench.py): outside jit the gather
+    # and normalize would dispatch eagerly op-by-op over the tunnel, which
+    # measures RTT count, not the front end. Donation rides the outer jit.
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, indices, key):
         if fused:
             b = ds.gather_normalized(indices, out_dtype=jnp.bfloat16)
@@ -103,6 +108,9 @@ def main():
             for _ in range(4):
                 s, loss, _ = tstep(s, idx(TRAIN_BATCH), key)
             np.asarray(loss)
+            # the step donates the state: the old states[tag] buffer is
+            # dead after the first call, so keep the live one for rep+1
+            states[tag] = s
             results["train"][tag].append(
                 4 * TRAIN_BATCH / (time.perf_counter() - t0))
             t0 = time.perf_counter()
