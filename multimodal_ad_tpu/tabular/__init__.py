@@ -13,6 +13,8 @@ from .icl import ICLClassifier, ICLConfig, ICLTransformer, pretrain_icl
 from .icl_regression import (RegICLConfig, RegICLTransformer,
                              pretrain_icl_regression)
 from .many_class import ManyClassClassifier
+from .plotting import (plot_attribution_scatter, plot_attributions,
+                       plot_interactions)
 from .regression import (DecisionTreeICLRegressor, ICLRegressor,
                          RandomForestICLRegressor, TunedICLRegressor)
 from .rf_icl import DecisionTreeICLClassifier, RandomForestICLClassifier
@@ -46,6 +48,7 @@ __all__ = [
     "ICLRegressor", "TunedICLRegressor", "DecisionTreeICLRegressor",
     "RandomForestICLRegressor", "get_device", "infer_categorical_features",
     "is_icl_estimator", "product_dict", "softmax",
+    "plot_attributions", "plot_attribution_scatter", "plot_interactions",
     "AutoTabPFNClassifier", "TunedTabPFNClassifier", "TunedTabPFNRegressor",
     "TabPFNUnsupervisedModel", "DecisionTreeTabPFNClassifier",
     "RandomForestTabPFNClassifier", "DecisionTreeTabPFNRegressor",

@@ -143,7 +143,8 @@ def make_from_trial(base_estimator, trial: dict | None):
 
 def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
                       n_finalists: int = 2, n_rescore: int = 2,
-                      verbose: bool = False) -> int:
+                      verbose: bool = False,
+                      return_evidence: bool = False):
     """Selection-bias guard for HPO over noisy CV scores: the default
     config (trials[0] is None) wins unless a searched trial beats it by
     more than the NOISE of the comparison.
@@ -156,8 +157,15 @@ def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
     RE-SCORED (together with the default) on ``n_rescore`` fresh,
     differently-seeded CVs via ``rescore(trial, rep)``; a candidate is
     adopted only if its PAIRED per-fold advantage over the default ON THE
-    FRESH FOLDS ONLY has mean > TWICE its standard error (~95%
-    one-sided). The first-pass folds are deliberately EXCLUDED from the
+    FRESH FOLDS ONLY has mean > TWICE its standard error. The SE is the
+    LARGER of the pooled per-fold SE and the between-rep-mean SE: fold
+    diffs within a rep share overlapping k-fold training sets and all
+    reps share the dataset, so the pooled estimate alone understates the
+    noise — the rep-level spread catches the correlated component. Even
+    so the bar is a *nominal* ~95% one-sided under an independence
+    approximation, not an exact guarantee; the strict 2x multiplier and
+    the fresh-folds rule are what carry the asymmetric-cost design in
+    practice. The first-pass folds are deliberately EXCLUDED from the
     decision: the finalist was selected *because* it scored high on them,
     so they carry winner's-curse bias — pooling them in (the round-3
     form) still false-adopted a mixed-type trial that lost by 0.005 on
@@ -169,30 +177,59 @@ def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
     ``fold_scores`` must be paired: every trial scored on the SAME CV
     splits, and ``rescore(trial, rep)`` must use the same splits for every
     trial at a given ``rep``. Returns the index into ``trials`` of the
-    guarded pick (0 = the default)."""
+    guarded pick (0 = the default); with ``return_evidence=True`` returns
+    ``(pick, fresh_scores)`` where ``fresh_scores`` is the flat list of
+    the picked trial's fresh re-scored fold scores (``None`` when the
+    default is kept without any re-scoring) — callers should report
+    ``best_score_`` from these rather than the winner's-curse-biased
+    first-pass mean.
+
+    Cost note: when any candidate beats the default's first-pass mean,
+    the guard runs up to ``(1 + n_finalists) * n_rescore`` EXTRA full CVs
+    (default shape: up to 6) on top of the search itself; ``verbose``
+    logs the count so fit-time regressions on slow backends are
+    attributable."""
     means = [float(sign * np.nanmean(s)) for s in fold_scores]
     order = np.argsort(means)[::-1]
     cands = [int(i) for i in order
              if i != 0 and means[i] > means[0]][:n_finalists]
     if not cands:
-        return 0
+        return (0, None) if return_evidence else 0
     base_fresh = [np.asarray(rescore(trials[0], r), np.float64)
                   for r in range(n_rescore)]
-    best_i, best_adv = 0, 0.0
+    if verbose:
+        print(f"[hpo guard] re-scoring default + {len(cands)} finalist(s) "
+              f"x {n_rescore} fresh CVs "
+              f"({(1 + len(cands)) * n_rescore} extra CV fits)")
+    best_i, best_adv, best_fresh = 0, 0.0, None
     for i in cands:
-        d = np.concatenate([
-            sign * (np.asarray(rescore(trials[i], r), np.float64)
-                    - base_fresh[r])
-            for r in range(n_rescore)])
+        cand_fresh = [np.asarray(rescore(trials[i], r), np.float64)
+                      for r in range(n_rescore)]
+        per_rep = [sign * (cand_fresh[r] - base_fresh[r])
+                   for r in range(n_rescore)]
+        d = np.concatenate(per_rep)
         d = d[np.isfinite(d)]
         if len(d) < 2:
             continue
         se = float(d.std(ddof=1) / np.sqrt(len(d)))
+        rep_means = [float(np.nanmean(r)) for r in per_rep
+                     if np.isfinite(r).any()]
+        if len(rep_means) >= 2:
+            se = max(se, float(np.std(rep_means, ddof=1)
+                               / np.sqrt(len(rep_means))))
         if verbose:
             print(f"[hpo guard] finalist {i}: fresh paired advantage "
                   f"{d.mean():+.4f} (se {se:.4f})")
         if d.mean() > max(2.0 * se, 1e-6) and d.mean() > best_adv:
             best_i, best_adv = i, float(d.mean())
+            best_fresh = [float(v) for v in
+                          np.concatenate(cand_fresh) if np.isfinite(v)]
+    if return_evidence:
+        if best_i == 0:
+            base_flat = [float(v) for v in np.concatenate(base_fresh)
+                         if np.isfinite(v)]
+            return 0, base_flat
+        return best_i, best_fresh
     return best_i
 
 
@@ -245,13 +282,17 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
                 print(f"[hpo] trial {t}: {trial} -> "
                       f"{float(np.nanmean(scores)):.4f}")
 
-        pick = guarded_selection(
+        pick, fresh = guarded_selection(
             trials, fold_scores,
             rescore=lambda tr, rep: self._cv_scores(
                 X, y, tr, self.random_state + 1 + rep),
-            sign=1.0, verbose=self.verbose)
+            sign=1.0, verbose=self.verbose, return_evidence=True)
         self.best_params_ = trials[pick]
-        self.best_score_ = float(np.nanmean(fold_scores[pick]))
+        # report the fresh-fold mean when the guard re-scored: the
+        # first-pass mean of an argmax-selected trial carries
+        # winner's-curse bias (the very thing the guard corrects for)
+        self.best_score_ = float(np.nanmean(
+            fresh if fresh else fold_scores[pick]))
         self.best_estimator_ = self._make(trials[pick]).fit(X, y)
         return self
 

@@ -389,13 +389,15 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
         } for _ in range(self.n_trials)]
         fold_scores = [self._cv_scores(X, y, trial, self.random_state)
                        for trial in trials]
-        pick = guarded_selection(
+        pick, fresh = guarded_selection(
             trials, fold_scores,
             rescore=lambda tr, rep: self._cv_scores(
                 X, y, tr, self.random_state + 1 + rep),
-            sign=-1.0)  # rmse/mse/mae: lower is better
+            sign=-1.0, return_evidence=True)  # rmse/mse/mae: lower better
         self.best_params_ = trials[pick]
-        self.best_score_ = float(np.nanmean(fold_scores[pick]))
+        # fresh-fold mean when the guard re-scored (winner's-curse fix)
+        self.best_score_ = float(np.nanmean(
+            fresh if fresh else fold_scores[pick]))
         self.best_estimator_ = self._make(trials[pick]).fit(X, y)
         return self
 

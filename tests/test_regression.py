@@ -145,7 +145,11 @@ class TestTunedRegressor:
         base = ICLRegressor(params=params, cfg=cfg)
         reg = TunedICLRegressor(base_estimator=base, n_trials=3, n_splits=2)
         reg.fit(X[:90], y[:90])
-        assert reg.best_params_ is not None
+        # best_params_ None = the selection guard kept the default config,
+        # a legitimate outcome (hpo.guarded_selection); the contract is
+        # that fit completes, the score is real, and predict works
+        assert reg.best_params_ is None or isinstance(reg.best_params_, dict)
+        assert np.isfinite(reg.best_score_)
         assert reg.predict(X[90:]).shape == (30,)
 
 

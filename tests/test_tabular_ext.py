@@ -294,6 +294,59 @@ class TestShapleyInteractions:
         np.testing.assert_allclose(sampled, exact, atol=0.02)
 
 
+class TestPlottingFacade:
+    """Visualization parity with the reference's plot_shap /
+    plot_shap_feature / shapiq plots (interpretability/shap.py:112-200,
+    shapiq.py:20-161): one call renders a figure from our attribution /
+    SII arrays and writes a PNG."""
+
+    def test_plot_attributions_writes_png(self, tmp_path):
+        from multimodal_ad_tpu.tabular.plotting import plot_attributions
+
+        rng = np.random.default_rng(0)
+        vals = rng.normal(size=(20, 6))
+        X = rng.normal(size=(20, 6))
+        out = tmp_path / "attr.png"
+        fig = plot_attributions(vals, X=X, out=str(out),
+                                feature_names=[f"f{j}" for j in range(6)])
+        assert out.exists() and out.stat().st_size > 1000
+        assert len(fig.axes) >= 2  # bar + summary panels
+
+    def test_plot_attribution_scatter_picks_interactor(self, tmp_path):
+        from multimodal_ad_tpu.tabular.plotting import \
+            plot_attribution_scatter
+
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(40, 4))
+        # attribution of feature 0 driven by the VALUE of feature 2 ->
+        # the potential-interactions heuristic must color by f2
+        vals = np.zeros((40, 4))
+        vals[:, 0] = X[:, 2] * 0.3
+        out = tmp_path / "scatter.png"
+        fig = plot_attribution_scatter(vals, X, out=str(out))
+        assert out.exists() and out.stat().st_size > 1000
+        assert "x2" in fig.axes[0].get_title()
+
+    def test_plot_interactions_writes_png(self, tmp_path):
+        from multimodal_ad_tpu.tabular.plotting import plot_interactions
+
+        rng = np.random.default_rng(2)
+        sii = rng.normal(size=(3, 5, 5))
+        sii = sii + sii.transpose(0, 2, 1)
+        out = tmp_path / "sii.png"
+        plot_interactions(sii, out=str(out))
+        assert out.exists() and out.stat().st_size > 1000
+        out2 = tmp_path / "sii_sample.png"
+        plot_interactions(sii, sample=1, out=str(out2))
+        assert out2.exists()
+
+    def test_validates_feature_names_length(self):
+        from multimodal_ad_tpu.tabular.plotting import plot_attributions
+
+        with pytest.raises(ValueError):
+            plot_attributions(np.zeros((2, 3)), feature_names=["a"])
+
+
 class TestGuardedSelection:
     """Selection-bias guard (hpo.guarded_selection): the default config
     must win unless a trial beats it by more than CV noise — the round-3
