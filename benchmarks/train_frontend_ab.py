@@ -29,7 +29,7 @@ import jax.numpy as jnp  # noqa: E402
 VOL_SHAPE = (91, 109, 91)
 TRAIN_BATCH = 128
 INFER_BATCH = 512
-REPS = 3
+REPS = int(os.environ.get("AB_REPS", "3"))
 
 
 def build(fused: bool):
@@ -124,9 +124,18 @@ def main():
                   f"{results['infer'][tag][-1]:.1f} vols/s",
                   file=sys.stderr, flush=True)
 
+    # rep 0 is warm-up (tunnel + allocator effects linger past the compile
+    # pass — measured: rep0 xla 253/732 vols/s vs steady-state 323/1078);
+    # medians are over the remaining reps when there are enough
+    steady = {phase: {tag: v[1:] if len(v) > 2 else v
+                      for tag, v in d.items()}
+              for phase, d in results.items()}
     summary = {phase: {tag: round(float(np.median(v)), 2)
                        for tag, v in d.items()}
-               for phase, d in results.items()}
+               for phase, d in steady.items()}
+    summary["reps_raw"] = {phase: {tag: [round(x, 1) for x in v]
+                                   for tag, v in d.items()}
+                           for phase, d in results.items()}
     summary["train_speedup"] = round(
         summary["train"]["fused"] / summary["train"]["xla"], 4)
     summary["infer_speedup"] = round(

@@ -20,6 +20,8 @@ a future converted-weights TabPFN, or a bridge — satisfies it.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from sklearn.model_selection import KFold
 
@@ -62,6 +64,36 @@ class OoFEmbedding:
 
 # Alias mirroring the reference export name
 TabPFNEmbedding = OoFEmbedding
+
+
+def embedder_asset_path() -> str:
+    """Bundled EMBEDDER asset location (override: MAD_ICL_EMBED_ASSET).
+    A separate asset from the classifier's because the two objectives
+    trade off: the round-4 contrastive continuation lifted embeddings
+    0.829->0.889 but cost direct classification 0.915->0.897 on the
+    reference's clinical table — so the shipped split keeps a
+    classification-annealed classifier asset and an embedding-phase
+    embedder asset (assets/README.md)."""
+    import os
+
+    env = os.environ.get("MAD_ICL_EMBED_ASSET")
+    if env:
+        return env
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "assets",
+        "icl_embedder.msgpack")
+
+
+def load_embedder_params():
+    """Embedder-asset weights for the default ICLConfig under the shared
+    resolve_asset_params policy; None (members fall back to the classifier
+    default asset) when no embedder asset applies."""
+    from .icl import (ICLConfig, _load_params_file, resolve_asset_params)
+
+    cfg = ICLConfig()
+    return resolve_asset_params(
+        lambda p: _load_params_file(cfg, p), "MAD_ICL_EMBED_ASSET",
+        os.path.normpath(embedder_asset_path()), True, f"ICLConfig {cfg}")
 
 
 #: preprocess/seed-diverse member recipe for EnsembleICLEmbedder: the
@@ -119,6 +151,14 @@ class EnsembleICLEmbedder:
 
         self.specs = tuple(dict(s) for s in (specs or DEFAULT_MEMBER_SPECS))
         self.embedding_kind = embedding_kind
+        if params is None and cfg is None:
+            # embedder-specific asset: weights continued with a dedicated
+            # embedding-objective phase (stronger supervised-contrastive
+            # pressure than the classifier asset carries — the two
+            # objectives measurably trade off, assets/README.md round-5).
+            # Override with MAD_ICL_EMBED_ASSET; falls back to the member
+            # default (the classifier asset) when absent.
+            params = load_embedder_params()
         self.members = [
             ICLClassifier(cfg=cfg, params=params,
                           embedding_kind=embedding_kind, **s)

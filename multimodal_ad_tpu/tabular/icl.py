@@ -139,8 +139,15 @@ class ICLTransformer(nn.Module):
         eye = jnp.eye(total, dtype=bool)[None]
         allowed = (allowed | eye)[:, None]  # (B, 1, Q, K) boolean mask
 
-        for _ in range(c.n_layers):
+        for li in range(c.n_layers):
             h = ICLBlock(c, dtype=self.dtype)(h, allowed, deterministic)
+            if li == c.n_layers - 2:
+                # penultimate-layer tap for multi-layer embeddings: flax
+                # `sow` adds NO parameters (checkpoint-compatible) and is
+                # only materialized when apply() passes
+                # mutable=["intermediates"] — the classifier forward is
+                # unchanged. Queries-only (rows n:) to bound the capture.
+                self.sow("intermediates", "h_penult", h[:, n:])
         h = nn.LayerNorm(dtype=self.dtype)(h)
 
         logits = nn.Dense(c.max_classes, dtype=self.dtype, name="cls_head")(h)
@@ -1115,12 +1122,37 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
             ICLClassifier._fwd_cache[cfg] = fwd
         return ICLClassifier._fwd_cache[cfg]
 
-    def _run(self, X, want_ctx: bool = False):
+    # separate compile for the multi-layer-tap variant: it collects the
+    # sown penultimate hidden states ("intermediates"), which the
+    # classification forward never materializes
+    _fwd_tap_cache: dict = {}
+
+    @property
+    def _forward_tapped(self):
+        cfg = self._cfg
+        if cfg not in ICLClassifier._fwd_tap_cache:
+            model = ICLTransformer(cfg)
+
+            @jax.jit
+            def fwd(params, x_ctx, y_ctx, ctx_mask, x_qry, cat):
+                xc, xq = _zscore_by_ctx(x_ctx, x_qry, ctx_mask)
+                (logits, q_emb, ctx_emb), inter = model.apply(
+                    params, xc, y_ctx, ctx_mask, xq, cat,
+                    mutable=["intermediates"])
+                h_pen = inter["intermediates"]["h_penult"][0]
+                return logits, q_emb, ctx_emb, h_pen
+
+            ICLClassifier._fwd_tap_cache[cfg] = fwd
+        return ICLClassifier._fwd_tap_cache[cfg]
+
+    def _run(self, X, want_ctx: bool = False, want_tap: bool = False):
         """One batched forward over all ensemble views.
 
         Returns (logits (V, M, k) with class columns un-permuted back to
         canonical `classes_` order, per-view query embeddings (V, M, d)[,
-        identity-view context embeddings (N, d) when ``want_ctx``])."""
+        identity-view context embeddings (N, d) when ``want_ctx``][,
+        per-view penultimate-layer query states (V, M, d) when
+        ``want_tap``])."""
         if getattr(self, "_fitted", None) is None:
             raise RuntimeError("fit() first")
         params = self._ensure_params()
@@ -1132,16 +1164,23 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         # map through cp too but their keys are masked out); only the
         # query views are per-call work
         x_ctx_v, y_ctx_v, mask_v, cat_v = self._views_dev
-        logits, q_emb, ctx_emb = self._forward(
-            params, x_ctx_v, y_ctx_v, mask_v,
-            jnp.asarray(np.stack([Xq[:, p] for p in fp])), cat_v)
+        xq_dev = jnp.asarray(np.stack([Xq[:, p] for p in fp]))
+        if want_tap:
+            logits, q_emb, ctx_emb, h_pen = self._forward_tapped(
+                params, x_ctx_v, y_ctx_v, mask_v, xq_dev, cat_v)
+        else:
+            logits, q_emb, ctx_emb = self._forward(
+                params, x_ctx_v, y_ctx_v, mask_v, xq_dev, cat_v)
         logits = np.asarray(logits)
         canon = np.stack([logits[v][:, cp[v]] for v in range(V)])
+        out = [canon, np.asarray(q_emb)]
         if want_ctx:
             # identity-view only: views permute class/feature assignments,
             # so only view 0's context rows align with canonical labels
-            return canon, np.asarray(q_emb), np.asarray(ctx_emb[0])
-        return canon, np.asarray(q_emb)
+            out.append(np.asarray(ctx_emb[0]))
+        if want_tap:
+            out.append(np.asarray(h_pen))
+        return tuple(out)
 
     def predict_proba(self, X):
         logits, _ = self._run(X)  # (V, M, k), already canonical order
@@ -1193,6 +1232,9 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
           downstream linear model and its 256 drifting dims dilute the
           SVM (benchmarks/ADNI_TABULAR.md), so ensemble embedders default
           to this.
+        - 'rich2': 'rich' plus the view-averaged PENULTIMATE-layer query
+          state (multi-layer tap via the sown intermediate) — 2·d_model
+          + canonical blocks.
         - 'hidden': the identity view's final hidden state only (the
           pre-round-4 behavior).
 
@@ -1208,9 +1250,13 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         if kind == "hidden":
             _, emb = self._run(X)
             return emb[:1]
-        if kind not in ("rich", "compact"):
+        if kind not in ("rich", "rich2", "compact"):
             raise ValueError(f"unknown embedding_kind={kind!r}")
-        canon, emb, ctx = self._run(X, want_ctx=True)
+        if kind == "rich2":
+            canon, emb, ctx, h_pen = self._run(X, want_ctx=True,
+                                               want_tap=True)
+        else:
+            canon, emb, ctx = self._run(X, want_ctx=True)
         k = len(self.classes_)
         logit_mean = self._class_columns(canon.mean(0)[:, :k])
         # per-class context prototypes from the identity view
@@ -1243,4 +1289,11 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
         blocks = [logit_mean, cos, knn]
         if kind == "rich":
             blocks = [emb.mean(0)] + blocks
+        elif kind == "rich2":
+            # multi-layer tap: final + penultimate hidden states (both
+            # view-averaged). The contrastive aux objective shapes only
+            # the FINAL layer directly; the penultimate layer keeps
+            # feature structure the class-clustering pressure compresses
+            # away, which a downstream linear probe can use.
+            blocks = [emb.mean(0), h_pen.mean(0)] + blocks
         return np.concatenate(blocks, axis=1)[None]

@@ -271,6 +271,23 @@ class TestICLClassifier:
                                embedding_kind="hidden").fit(X, y)
         assert legacy.get_embeddings(X[:7]).shape == (1, 7, TINY.d_model)
 
+    def test_rich2_embedding_taps_penultimate_layer(self, tiny_params):
+        """'rich2' adds the view-averaged penultimate-layer query state
+        (sown intermediate, zero extra params) ahead of the canonical
+        blocks — and the tapped forward must not perturb the logits the
+        classification path computes."""
+        X, y = separable_data(seed=5)
+        r2 = ICLClassifier(params=tiny_params, cfg=TINY,
+                           embedding_kind="rich2").fit(X, y)
+        emb = r2.get_embeddings(X[:7])
+        assert emb.shape == (1, 7, 2 * TINY.d_model + 4 * TINY.max_classes)
+        rich = ICLClassifier(params=tiny_params, cfg=TINY).fit(X, y)
+        # blocks beyond the extra d_model slot match the plain rich path
+        np.testing.assert_allclose(
+            emb[0, :, 2 * TINY.d_model:],
+            rich.get_embeddings(X[:7])[0, :, TINY.d_model:], rtol=1e-5,
+            atol=1e-6)
+
     def test_rich_embedding_class_columns_align_across_refits(self,
                                                               tiny_params):
         """OoF refits can see different class subsets; the canonical
