@@ -5,9 +5,10 @@ cross-transformer toolkit models/network.py:233-281 + the TabPFN tabular
 branch tabel_test.py were separate experiments). This example runs the
 productized fusion path end-to-end on the reference's own clinical data:
 
-- clinical branch: the REAL `ADNI_Tabel.csv` (reference repo), CN/AD
-  subjects, features from column 14, embedded per CV fold by the
-  in-context tabular learner (tabular/icl.py) exactly as
+- clinical branch: the REAL `ADNI_Tabel.csv` (reference repo), ALL 423
+  CN/AD subjects (219 AD / 204 CN -> an ~85-sample held-out test set),
+  features from column 14, embedded per CV fold by the in-context
+  tabular learner (tabular/icl.py) exactly as
   `cli/train_fusion --use-table --table ADNI_Tabel.csv` wires it,
 - imaging branch: synthetic volumes for those same subjects with a
   deliberately WEAK image signal (heavy extent jitter), so the image-only
@@ -19,7 +20,7 @@ productized fusion path end-to-end on the reference's own clinical data:
 Falls back to a synthetic clinical table (data/synthetic.py::make_table)
 when the reference checkout is absent, so the example runs everywhere.
 
-Run: python examples/fusion_real_table.py   (faked CPU mesh, ~10 min)
+Run: python examples/fusion_real_table.py   (faked CPU mesh, ~5 min)
 """
 
 from __future__ import annotations
@@ -36,13 +37,17 @@ sys.path.insert(0, REPO)
 
 REF_TABLE = os.path.join(
     os.environ.get("MAD_REFERENCE_DIR", "/root/reference"), "ADNI_Tabel.csv")
+#: cap per class for the SYNTHETIC fallback only; the reference table is
+#: used whole (423 CN/AD rows -> an ~85-sample held-out test set, large
+#: enough that one flipped sample moves ACC by ~1 point, not 6 — the
+#: round-4 80-subject subsample's 16-sample test set flaked on reruns)
 N_PER_CLASS = 40
 SHAPE = (16, 20, 16)
 SEED = 0
 
 
 def load_clinical():
-    """(X, y, subjects, source): the reference CN/AD rows (CN=0/AD=1,
+    """(X, y, subjects, source): ALL reference CN/AD rows (CN=0/AD=1,
     reference tabel_loader.py:8-10), or the synthetic fallback table."""
     import pandas as pd
 
@@ -53,23 +58,13 @@ def load_clinical():
                                   classes=["CN", "AD"], start_col=14)
         df = pd.read_csv(REF_TABLE, encoding="ISO-8859-1")
         subjects = df[df["GROUP"].isin(["CN", "AD"])]["PTID"].tolist()
-        source = "reference ADNI_Tabel.csv"
-    else:
-        from multimodal_ad_tpu.data.synthetic import make_table
+        return X, y, subjects, "reference ADNI_Tabel.csv"
 
-        df = make_table(n=2 * N_PER_CLASS, n_features=24, seed=SEED)
-        X, y, _ = load_adni_table_df(df)
-        subjects = df["Subject_ID"].tolist()
-        source = "synthetic fallback table"
+    from multimodal_ad_tpu.data.synthetic import make_table
 
-    # balanced seeded subsample so the demo stays minutes, not hours
-    rng = np.random.default_rng(SEED)
-    keep = np.concatenate([
-        rng.choice(np.where(y == c)[0], min(N_PER_CLASS, (y == c).sum()),
-                   replace=False)
-        for c in (0, 1)])
-    keep.sort()
-    return (X[keep], y[keep], [subjects[i] for i in keep], source)
+    df = make_table(n=2 * N_PER_CLASS, n_features=24, seed=SEED)
+    X, y, _ = load_adni_table_df(df)
+    return X, y, df["Subject_ID"].tolist(), "synthetic fallback table"
 
 
 def load_adni_table_df(df):
@@ -138,10 +133,13 @@ def main():
     mesh = make_mesh({"data": n_dev}, devices=jax.devices()[:n_dev])
     model_kw = dict(dim=16, depth=1, heads=2, dim_head=8, mlp_dim=32)
     results = {}
+    # batch 16 (divisible by the 4-way mesh) keeps steps/epoch near the
+    # old 80-subject/batch-4 demo's despite the 5x cohort
+    batch = 16 if len(y) > 100 else 4
     for tag, use_table in (("image-only", False), ("fused", True)):
         cfg = Config(
             label_file=csv_path, mri_dir=mri_dir, task="ADCN",
-            num_epochs=10, batch_size=4, lr=1e-3, n_splits=2,
+            num_epochs=10, batch_size=batch, lr=1e-3, n_splits=2,
             checkpoint_dir=os.path.join(work, f"ckpt_{tag}"),
             compute_dtype="float32", loader_threads=2)
         train_fusion_cv(cfg, use_table=use_table,
@@ -157,15 +155,20 @@ def main():
             train_subjects=[rec["Subject"] for rec in tr_val],
             verbose=False)
         results[tag] = r["avg"]
+        folds = [round(float(m["AUC"]), 4) for m in r["per_fold"]]
+        results[tag]["fold_AUCs"] = folds
+        results[tag]["fold_AUC_std"] = round(float(np.std(folds)), 4)
         print(f"{tag}: test AUC {r['avg']['AUC']:.3f} "
-              f"ACC {r['avg']['ACC']:.3f}")
+              f"ACC {r['avg']['ACC']:.3f} "
+              f"(per-fold AUC {folds}, std {results[tag]['fold_AUC_std']})")
 
     gain = results["fused"]["AUC"] - results["image-only"]["AUC"]
     print(f"table branch AUC gain: {gain:+.3f}")
     assert results["fused"]["AUC"] > results["image-only"]["AUC"], (
         "clinical branch added no held-out AUC", results)
 
-    out = {"source": source, "image_only": results["image-only"],
+    out = {"source": source, "n_subjects": int(len(y)),
+           "image_only": results["image-only"],
            "fused": results["fused"], "auc_gain": round(float(gain), 4)}
     art_dir = os.path.join(REPO, "artifacts", "fusion_real_table")
     os.makedirs(art_dir, exist_ok=True)
