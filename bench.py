@@ -167,16 +167,16 @@ def bench_jax(vols):
     return STREAM_TIMED_BATCHES * batch / dt
 
 
-def _build_hbm_dataset(vols, mesh):
+def _build_hbm_dataset(vols, mesh, quantize=None):
     """Upload the corpus to HBM once; returns (dataset, upload_seconds)."""
     from multimodal_ad_tpu.data.device_cache import DeviceDataset
 
     volumes = np.stack(vols)[..., None]
     labels = np.zeros(len(vols), np.int32)
     t0 = time.time()
-    ds = DeviceDataset(volumes, labels, mesh=mesh)
+    ds = DeviceDataset(volumes, labels, mesh=mesh, quantize=quantize)
     np.asarray(ds.labels)  # fetch = the only true sync on this platform
-    return ds, time.time() - t0, volumes.nbytes
+    return ds, time.time() - t0, int(ds.volumes.nbytes)
 
 
 def forward_flops_per_volume(model, variables):
@@ -322,7 +322,13 @@ def main():
 
     vols = synth_volumes(12)
     mesh = make_mesh({"data": -1})
-    ds, upload_s, corpus_bytes = _build_hbm_dataset(vols, mesh)
+    # upload A/B at matched corpus: the raw int16 store (the pre-round-5
+    # path, timed first so the drifting link favors neither) vs the routed
+    # uint8 affine-quantized store (half the wire bytes; the per-sample
+    # normalizers absorb the affine map — data/device_cache.py).
+    _, upload_s_int16, int16_bytes = _build_hbm_dataset(vols, mesh)
+    ds, upload_s, corpus_bytes = _build_hbm_dataset(vols, mesh,
+                                                    quantize="uint8")
 
     # flops for MFU (forward; train step ~ 3x forward)
     model = generate_model(model_depth=18, nb_class=2)
@@ -393,6 +399,8 @@ def main():
         "train_mfu_est": round(train_mfu, 4) if train_mfu else None,
         "hbm_upload_seconds": round(upload_s, 2),
         "hbm_upload_mbps": round(corpus_bytes / 1e6 / upload_s, 3),
+        "hbm_upload_seconds_int16": round(upload_s_int16, 2),
+        "hbm_upload_compression": round(int16_bytes / corpus_bytes, 2),
         "n_chips": n_chips,
         "volume_shape": list(VOL_SHAPE),
     }

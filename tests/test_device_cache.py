@@ -54,6 +54,31 @@ class TestDeviceDataset:
         f = jax.jit(lambda i: ds1.gather_normalized(i)["image"])
         np.testing.assert_allclose(np.asarray(f(idx)), want, rtol=1e-6)
 
+    def test_uint8_quantized_store(self, rng):
+        """quantize='uint8' halves the stored/wire bytes vs int16 and is
+        invisible to the per-sample normalizer (affine invariance) up to
+        the 1/255 rounding step."""
+        from multimodal_ad_tpu.ops.normalize import scale_intensity
+
+        vols = rng.integers(-7, 4000, size=(5, 6, 7, 6, 1)).astype(np.int16)
+        labels = np.arange(5) % 2
+        ds16 = DeviceDataset(vols, labels)
+        dsq = DeviceDataset(vols, labels, quantize="uint8")
+        assert dsq.volumes.dtype == np.uint8
+        assert dsq.volumes.nbytes * 2 == ds16.volumes.nbytes
+        idx = np.array([0, 4, 2], np.int32)
+        want = np.asarray(scale_intensity(ds16.gather(idx)["image"]))
+        got = np.asarray(scale_intensity(dsq.gather(idx)["image"]))
+        assert np.abs(got - want).max() <= 1.1 / 255
+        # flat volume degrades to zeros, no divide-by-zero
+        flat = np.full((1, 4, 4, 4, 1), 37, np.int16)
+        dsf = DeviceDataset(flat, np.zeros(1), quantize="uint8")
+        assert np.asarray(dsf.gather(np.array([0]))["image"]).max() == 0
+        with pytest.raises(ValueError):
+            DeviceDataset(vols, labels, quantize="uint8", fused_norm=True)
+        with pytest.raises(ValueError):
+            DeviceDataset(vols, labels, quantize="zstd")
+
     def test_epoch_iterator_padding_and_masks(self, rng):
         vols = rng.normal(size=(7, 6, 6, 6, 1)).astype(np.float32)
         ds = DeviceDataset(vols, np.arange(7) % 2)
