@@ -112,6 +112,101 @@ def default_search_space(rng: np.random.Generator, n_train: int) -> dict:
     }
 
 
+def classifier_choice_space(n_train: int) -> dict:
+    """The `default_search_space` dimensions as deduplicated choice lists
+    (the declarative form `TPESampler` models densities over). The `seed`
+    nuisance dimension is excluded — it is drawn uniformly per trial and
+    carries no structure worth modeling."""
+    return {
+        "softmax_temperature": [0.5, 0.75, 1.0, 1.25, 1.5],
+        "context_size": [s for s in (64, 128, 256, 512)
+                         if s <= max(64, n_train)],
+        "preprocess": [None, "quantile", "whiten", "pairs"],
+        "n_ensemble": [1, 2, 4],
+        "diverse_preprocess": [False, True],
+        "n_estimators": [1, 2, 4, 8],
+        "average_logits": [False, True],
+        "screen_features": ["auto", 64, 32, 16],
+    }
+
+
+class TPESampler:
+    """Adaptive trial proposal: univariate Tree-structured Parzen
+    Estimator over a finite choice space.
+
+    The reference tunes with hyperopt TPE
+    (reference models/tabpfn-extensions/src/tabpfn_extensions/hpo/
+    tuned_tabpfn.py:75-547); hyperopt is not in this image, and every
+    dimension of our space is a finite choice list, for which TPE's
+    per-dimension Parzen densities reduce exactly to Laplace-smoothed
+    category frequencies. After ``n_init`` exploratory draws (from
+    ``init_sampler`` so the hand-tuned prior weighting of
+    `default_search_space` is kept), each ask() splits the observed
+    trials at the top-``gamma`` quantile into good/bad sets, samples
+    ``n_candidates`` joint configurations from the good-set density
+    l(x) (plus exploratory draws from the prior), and proposes the
+    candidate maximizing sum_d log l_d(x_d) / g_d(x_d) — hyperopt's
+    expected-improvement surrogate on categorical dimensions.
+
+    Scores passed to tell() must be HIGHER-better (callers with losses
+    negate). Non-finite scores are kept as worst-tier evidence."""
+
+    def __init__(self, space: dict, init_sampler, n_init: int = 8,
+                 gamma: float = 0.33, n_candidates: int = 24,
+                 n_explore: int = 4, smoothing: float = 1.0):
+        self.space = {k: list(v) for k, v in space.items()}
+        self.init_sampler = init_sampler
+        self.n_init = n_init
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.n_explore = n_explore
+        self.smoothing = smoothing
+        self.observations: list[tuple[dict, float]] = []
+
+    def _project(self, trial: dict) -> dict:
+        """Keep only modeled dimensions whose value is in the choice list
+        (init_sampler may carry extra keys like `seed`)."""
+        return {k: trial[k] for k in self.space
+                if k in trial and trial[k] in self.space[k]}
+
+    def _densities(self, trials: list[dict]) -> dict:
+        dens = {}
+        for k, choices in self.space.items():
+            counts = np.full(len(choices), self.smoothing, np.float64)
+            for t in trials:
+                if k in t:
+                    counts[choices.index(t[k])] += 1.0
+            dens[k] = counts / counts.sum()
+        return dens
+
+    def ask(self, rng: np.random.Generator) -> dict:
+        obs = self.observations
+        if len(obs) < self.n_init:
+            return self._project(self.init_sampler(rng))
+        scores = np.array([s if np.isfinite(s) else -np.inf
+                           for _, s in obs])
+        n_good = max(1, int(np.ceil(self.gamma * len(obs))))
+        order = np.argsort(scores)[::-1]
+        good = [self._project(obs[i][0]) for i in order[:n_good]]
+        bad = [self._project(obs[i][0]) for i in order[n_good:]]
+        l, g = self._densities(good), self._densities(bad)
+
+        cands = []
+        for _ in range(self.n_candidates):
+            cands.append({k: self.space[k][int(rng.choice(
+                len(self.space[k]), p=l[k]))] for k in self.space})
+        for _ in range(self.n_explore):
+            cands.append(self._project(self.init_sampler(rng)))
+        ei = [sum(np.log(l[k][self.space[k].index(c[k])]
+                         / g[k][self.space[k].index(c[k])])
+                  for k in self.space if k in c)
+              for c in cands]
+        return cands[int(np.argmax(ei))]
+
+    def tell(self, trial: dict, score: float):
+        self.observations.append((self._project(trial), float(score)))
+
+
 def make_from_trial(base_estimator, trial: dict | None):
     """Build the estimator a `default_search_space` trial describes — the
     ONE place trial keys are applied, shared by the Tuned and Auto
@@ -234,22 +329,26 @@ def guarded_selection(trials, fold_scores, rescore, sign: float = 1.0,
 
 
 class TunedICLClassifier(ClassifierMixin, BaseEstimator):
-    """Random-search HPO with a selection-bias guard: `best_params_` stays
-    None (the default config) unless a searched trial beats it by more than
-    CV noise — see `guarded_selection`. The reference's TunedTabPFN has no
-    such guard (reference hpo/tuned_tabpfn.py:75-547, raw hyperopt argmin);
-    the divergence is deliberate and tested
-    (tests/test_tabular_ext.py guard tests)."""
+    """Adaptive-search HPO with a selection-bias guard: trials after the
+    exploratory phase are proposed by `TPESampler` (the reference's
+    hyperopt-TPE dimension, tuned_tabpfn.py:75-547; ``search="random"``
+    recovers pure random search), and `best_params_` stays None (the
+    default config) unless a searched trial beats it by more than CV
+    noise — see `guarded_selection`. The reference's TunedTabPFN has no
+    such guard (raw hyperopt argmin); the divergence is deliberate and
+    tested (tests/test_tabular_ext.py guard tests)."""
 
     def __init__(self, base_estimator=None, n_trials: int = 20,
                  metric: str = "roc_auc", n_splits: int = 3,
-                 random_state: int = 0, verbose: bool = False):
+                 random_state: int = 0, verbose: bool = False,
+                 search: str = "adaptive"):
         self.base_estimator = base_estimator
         self.n_trials = n_trials
         self.metric = metric
         self.n_splits = n_splits
         self.random_state = random_state
         self.verbose = verbose
+        self.search = search
 
     def _make(self, trial: dict | None):
         return make_from_trial(self.base_estimator, trial)
@@ -272,12 +371,32 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
 
         # trial None = the unmodified base config (with fit-time automatic
         # preprocessing): tuning must never end up worse than plain ICL
-        trials = [None] + [default_search_space(rng, len(X))
-                           for _ in range(self.n_trials)]
-        fold_scores = []
-        for t, trial in enumerate(trials):
+        if self.search == "random":
+            proposer = None
+        elif self.search == "adaptive":
+            proposer = TPESampler(
+                classifier_choice_space(len(X)),
+                init_sampler=lambda r: default_search_space(r, len(X)))
+        else:
+            raise ValueError(f"unknown search={self.search!r}")
+        trials, fold_scores = [], []
+        for t in range(1 + self.n_trials):
+            if t == 0:
+                trial = None
+            elif proposer is None:
+                trial = default_search_space(rng, len(X))
+            else:
+                # sequential ask -> score -> tell: each proposal sees every
+                # previous trial's CV mean (the adaptivity random search
+                # lacks)
+                trial = dict(proposer.ask(rng))
+                # nuisance seed drawn outside the modeled space
+                trial["seed"] = int(rng.integers(0, 10_000))
             scores = self._cv_scores(X, y, trial, self.random_state)
+            trials.append(trial)
             fold_scores.append(scores)
+            if proposer is not None and trial is not None:
+                proposer.tell(trial, float(np.nanmean(scores)))
             if self.verbose:
                 print(f"[hpo] trial {t}: {trial} -> "
                       f"{float(np.nanmean(scores)):.4f}")

@@ -344,14 +344,17 @@ class RandomForestICLRegressor(RegressorMixin, BaseEstimator):
 
 
 class TunedICLRegressor(RegressorMixin, BaseEstimator):
-    """Random-search tuned regressor (TunedTabPFNRegressor parity), with
-    the same selection-bias guard as the classifier wrapper: the default
-    config wins unless a trial beats it by more than CV noise
+    """Tuned regressor (TunedTabPFNRegressor parity): adaptive TPE trial
+    proposal (`hpo.TPESampler`, the reference's hyperopt dimension;
+    ``search="random"`` recovers random search) with the same
+    selection-bias guard as the classifier wrapper — the default config
+    wins unless a trial beats it by more than CV noise
     (`hpo.guarded_selection`)."""
 
     def __init__(self, base_estimator=None, n_trials: int = 10,
                  metric: str = "rmse", n_splits: int = 3,
-                 random_state: int = 0):
+                 random_state: int = 0, search: str = "adaptive"):
+        self.search = search
         self.base_estimator = base_estimator
         self.n_trials = n_trials
         self.metric = metric
@@ -372,23 +375,48 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
         return scores
 
     def fit(self, X, y):
-        from .hpo import guarded_selection
+        from .hpo import TPESampler, guarded_selection
 
         X = np.asarray(X, np.float32)
         y = np.asarray(y, np.float64)
         rng = np.random.default_rng(self.random_state)
+
+        def draw(r):
+            return {
+                "softmax_temperature": float(r.choice([0.75, 1.0, 1.25])),
+                "seed": int(r.integers(0, 10_000)),
+                "preprocess": [None, None, "quantile", "whiten", "pairs"][
+                    int(r.integers(0, 5))],
+                # permuted-view count (the classifier HPO space's
+                # n_estimators dimension); _make only applies it when the
+                # base exposes it
+                "n_estimators": int(r.choice([1, 4, 8])),
+            }
+
+        proposer = None
+        if self.search == "adaptive":
+            proposer = TPESampler(
+                {"softmax_temperature": [0.75, 1.0, 1.25],
+                 "preprocess": [None, "quantile", "whiten", "pairs"],
+                 "n_estimators": [1, 4, 8]}, init_sampler=draw)
+        elif self.search != "random":
+            raise ValueError(f"unknown search={self.search!r}")
         # trial None = the unmodified base config; tuning never loses to it
-        trials = [None] + [{
-            "softmax_temperature": float(rng.choice([0.75, 1.0, 1.25])),
-            "seed": int(rng.integers(0, 10_000)),
-            "preprocess": [None, None, "quantile", "whiten", "pairs"][
-                int(rng.integers(0, 5))],
-            # permuted-view count (the classifier HPO space's n_estimators
-            # dimension); _make only applies it when the base exposes it
-            "n_estimators": int(rng.choice([1, 4, 8])),
-        } for _ in range(self.n_trials)]
-        fold_scores = [self._cv_scores(X, y, trial, self.random_state)
-                       for trial in trials]
+        trials, fold_scores = [], []
+        for t in range(1 + self.n_trials):
+            if t == 0:
+                trial = None
+            elif proposer is None:
+                trial = draw(rng)
+            else:
+                trial = dict(proposer.ask(rng))
+                trial["seed"] = int(rng.integers(0, 10_000))
+            scores = self._cv_scores(X, y, trial, self.random_state)
+            trials.append(trial)
+            fold_scores.append(scores)
+            if proposer is not None and trial is not None:
+                # losses: negate so the sampler's good set is low-rmse
+                proposer.tell(trial, -float(np.nanmean(scores)))
         pick, fresh = guarded_selection(
             trials, fold_scores,
             rescore=lambda tr, rep: self._cv_scores(

@@ -421,6 +421,69 @@ class TestGuardedSelection:
         assert pick == 1
 
 
+class TestTPESampler:
+    """Adaptive trial proposal (hpo.TPESampler): after the exploratory
+    phase, proposals must concentrate on the dimension values that score
+    well — the adaptivity random search lacks (reference tunes with
+    hyperopt TPE, tuned_tabpfn.py:75-547)."""
+
+    @staticmethod
+    def _make(n_init=6):
+        from multimodal_ad_tpu.tabular.hpo import TPESampler
+
+        space = {"preprocess": [None, "quantile", "whiten", "pairs"],
+                 "n_estimators": [1, 2, 4]}
+
+        def init(rng):
+            return {"preprocess": space["preprocess"][
+                        int(rng.integers(0, 4))],
+                    "n_estimators": int(rng.choice(space["n_estimators"])),
+                    "seed": 7}  # extra key: must be ignored by the model
+
+        return TPESampler(space, init_sampler=init, n_init=n_init)
+
+    def test_concentrates_on_winning_value(self):
+        rng = np.random.default_rng(0)
+        s = self._make()
+        picks = []
+        for t in range(40):
+            trial = s.ask(rng)
+            # hidden objective: only preprocess matters
+            score = (1.0 if trial["preprocess"] == "quantile" else 0.0
+                     ) + 0.05 * rng.normal()
+            s.tell(trial, score)
+            picks.append(trial["preprocess"])
+        late = picks[-15:]
+        frac = late.count("quantile") / len(late)
+        assert frac >= 0.6, f"late quantile fraction {frac} (uniform=0.25)"
+
+    def test_init_phase_is_exploratory_and_seed_is_projected_out(self):
+        rng = np.random.default_rng(1)
+        s = self._make(n_init=5)
+        for _ in range(5):
+            t = s.ask(rng)
+            assert set(t) == {"preprocess", "n_estimators"}  # seed dropped
+            s.tell({**t, "seed": 3}, 0.0)
+        assert all("seed" not in t for t, _ in s.observations)
+
+    def test_non_finite_scores_sink_to_worst_tier(self):
+        rng = np.random.default_rng(2)
+        s = self._make(n_init=4)
+        for v in ("whiten", "whiten", "quantile", "quantile"):
+            s.tell({"preprocess": v, "n_estimators": 1},
+                   np.nan if v == "whiten" else 1.0)
+        # good set must be the finite scorers: proposals favor quantile
+        picks = [s.ask(rng)["preprocess"] for _ in range(20)]
+        assert picks.count("quantile") > picks.count("whiten")
+
+    def test_unknown_search_rejected(self):
+        from multimodal_ad_tpu.tabular.hpo import TunedICLClassifier
+
+        with pytest.raises(ValueError):
+            TunedICLClassifier(search="bayes").fit(
+                np.zeros((8, 2), np.float32), np.arange(8) % 2)
+
+
 @pytest.mark.slow
 class TestICLWrappers:
     """HPO + auto-ensemble over the actual in-context learner."""
