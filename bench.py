@@ -146,14 +146,23 @@ def bench_jax(vols):
         x = dev_scale(raw)
         return model.apply(variables, x, train=False)
 
+    # one-time host-side uint8 affine quantization (the same transform the
+    # HBM store uses — the per-sample normalizer absorbs it): the streaming
+    # path is LINK-bound on this host (0.1-30 MB/s), so halving the wire
+    # bytes vs int16 converts ~1:1 into streaming throughput
+    from multimodal_ad_tpu.data.device_cache import quantize_uint8
+
+    vols_q = quantize_uint8(np.stack(vols)[..., None])
+
     def host_batches(num):
         for i in range(num):
-            sel = [vols[(i * batch + j) % len(vols)] for j in range(batch)]
-            yield {"image": np.stack(sel)[..., None]}  # int16, no host math
+            sel = [vols_q[(i * batch + j) % len(vols_q)]
+                   for j in range(batch)]
+            yield {"image": np.stack(sel)}  # uint8, no per-batch host math
 
     # warmup/compile with the SAME sharding the pipeline produces
     # (a differently-sharded warmup would compile a second executable)
-    x0 = jax.device_put(np.zeros((batch, *VOL_SHAPE, 1), np.int16),
+    x0 = jax.device_put(np.zeros((batch, *VOL_SHAPE, 1), np.uint8),
                         data_sharding(mesh))
     np.asarray(forward(variables, x0))
 
