@@ -670,8 +670,9 @@ class TestPipelines:
         tr = pd.read_csv(tr_out)
         assert tr.columns[0] == "label"
         assert set(tr["label"]) <= {"CN", "AD"}  # original strings
-        # label + rich embedding dims (d_model + 2*max_classes)
-        assert tr.shape[1] == 1 + 32 + 2 * 4
+        # label + rich embedding dims: hidden state ++ canonical logits ++
+        # prototype cos ++ kNN-evidence top1/top3 (d_model + 4*max_classes)
+        assert tr.shape[1] == 1 + 32 + 4 * 4
 
         acc = quick_eval_from_saved(tr_out, te_out)
         assert 0.0 <= acc <= 1.0
