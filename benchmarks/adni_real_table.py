@@ -146,15 +146,18 @@ def main():
         "the meta-trained 96-feature range): before them, direct ICL scored",
         "0.778 ACC / 0.922 AUC and ICL embeddings+SVM 0.778 on the 3-class",
         "task. Round 4 attacked the embedding row (0.829 = the raw-feature",
-        "baseline, i.e. zero added information): the asset was re-meta-",
-        "trained with a supervised-contrastive query-embedding objective +",
-        "the native categorical pathway (assets/README.md), the OoF",
-        "embedder became a preprocess-diverse ensemble whose members emit",
-        "'rich' representations (hidden state ++ canonical class logits ++",
-        "prototype cosines ++ per-class kNN-evidence cosines), lifting",
-        "embeddings+SVM 0.829 -> 0.889 — above the raw baseline by a clear",
-        "margin, closing over half the gap to the reference's shipped",
-        "TabPFN-v2 artifact (0.932).",
+        "baseline, i.e. zero added information): contrastive meta-training +",
+        "the preprocess-diverse 'rich' OoF ensemble lifted it to 0.889 — but",
+        "cost direct classification (AutoICL 0.915 -> 0.897, below",
+        "GradBoost). Round 5 split the trade-off into TWO assets",
+        "(assets/README.md): a classification-annealed classifier asset",
+        "(AutoICL back to GradBoost parity) and a dedicated contrastive",
+        "embedder asset at 3.3x the aux weight behind EnsembleICLEmbedder",
+        "(embeddings+SVM 0.889 -> 0.897 on this benchmark's TPU run;",
+        "the CPU twin of the same pipeline measures 0.906 — one test",
+        "sample of matmul-precision delta; reference's shipped TabPFN-v2",
+        "artifact: 0.932). Both claims are now asserted at the bottom of",
+        "this script so an asset swap cannot silently regress them.",
         "",
     ]
 
@@ -207,6 +210,7 @@ def main():
     lines.append("")
 
     # --- Part B: direct classifiers on the raw table -----------------------
+    multi_acc = {}
     for task, splitter in (("3-class PMCI/AD/CN", _split_multi),
                            ("binary AD-vs-CN", lambda: _split_binary())):
         print(f"[B] direct classifiers, {task} ...", flush=True)
@@ -226,7 +230,23 @@ def main():
             acc, auc = score(model, Xtr, ytr, Xte, yte)
             print(f"    {name}: ACC {acc:.3f} AUC {auc:.3f}", flush=True)
             lines.append(f"| {name} | {acc:.3f} | {auc:.3f} |")
+            if task.startswith("3-class"):
+                multi_acc[name] = acc
         lines.append("")
+
+    # Regression guards (round-5): an asset swap must not silently undo
+    # the two capability claims this benchmark backs. Both are asserted
+    # against SAME-RUN baselines so a split/library change moves both
+    # sides together.
+    assert svm_ours >= raw_acc + 0.04, (
+        "ICL OoF embeddings no longer add information over raw features",
+        svm_ours, raw_acc)
+    assert svm_ours >= 0.88, (
+        "embeddings+SVM regressed below the round-5 floor (committed "
+        "0.906, floor leaves ~3/117 test samples of slack)", svm_ours)
+    assert multi_acc["AutoICL"] >= multi_acc["GradBoost"], (
+        "AutoICL lost to GradBoost on the 3-class task (the round-4 "
+        "regression this guard exists to catch)", multi_acc)
 
     with open(OUT, "w") as f:
         f.write("\n".join(lines))

@@ -104,9 +104,11 @@ def load_embedder_params():
 #: a downstream linear model trains across).
 DEFAULT_MEMBER_SPECS = (
     # n_estimators pinned to 4: the committed embedding benchmarks
-    # (ADNI_TABULAR.md 0.889, ICL_QUALITY.md) were measured with 4-view
+    # (ADNI_TABULAR.md 0.897, ICL_QUALITY.md) were measured with 4-view
     # members, and the member recipe freezes representation geometry —
     # the classifier-path default (8 since round 4) must not drift it.
+    # Round-5 probes of 8- and 10-member recipes scored 0.880/0.889 —
+    # wider is not better here.
     {"preprocess": None, "seed": 0, "n_estimators": 4},
     {"preprocess": "whiten", "seed": 1, "n_estimators": 4},
     {"preprocess": "quantile", "seed": 2, "n_estimators": 4},
@@ -137,12 +139,14 @@ class EnsembleICLEmbedder:
     Satisfies the OoFEmbedding embedder contract (fit / get_embeddings ->
     (1, n, d)), so it drops into the reference's K-fold OoF harness
     unchanged. ``embedding_kind`` is forwarded to every member ('rich'
-    default — see ICLClassifier.get_embeddings; since the round-4 asset
-    is meta-trained with the supervised-contrastive query-embedding
-    objective, the hidden-state block went from diluting the downstream
-    SVM to carrying it: measured on the reference's clinical table,
-    compact 0.863 vs rich 0.897 vs the raw-feature baseline 0.829 and the
-    reference's TabPFN-v2 artifact 0.932 — benchmarks/ADNI_TABULAR.md).
+    default — see ICLClassifier.get_embeddings; since the members run the
+    dedicated EMBEDDER asset — a continuation with 3.3x the round-4
+    supervised-contrastive weight, `load_embedder_params` — the
+    hidden-state block carries the downstream SVM rather than diluting
+    it: measured on the reference's clinical table, rich 0.897 vs the
+    raw-feature baseline 0.829 and the reference's TabPFN-v2 artifact
+    0.932 — benchmarks/ADNI_TABULAR.md; the round-5 sweep is in
+    assets/README.md).
     """
 
     def __init__(self, specs=None, embedding_kind: str = "rich",
