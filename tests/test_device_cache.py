@@ -70,6 +70,17 @@ class TestDeviceDataset:
         want = np.asarray(scale_intensity(ds16.gather(idx)["image"]))
         got = np.asarray(scale_intensity(dsq.gather(idx)["image"]))
         assert np.abs(got - want).max() <= 1.1 / 255
+        # the percentile normalizer also absorbs the map on NON-NEGATIVE
+        # volumes (its nonneg filter sees every voxel either way)
+        from multimodal_ad_tpu.ops.normalize import adaptive_normal
+
+        pos = rng.integers(0, 4000, size=(4, 6, 7, 6, 1)).astype(np.int16)
+        dp16 = DeviceDataset(pos, np.zeros(4))
+        dpq = DeviceDataset(pos, np.zeros(4), quantize="uint8")
+        pidx = np.array([0, 3], np.int32)
+        a16 = np.asarray(adaptive_normal(dp16.gather(pidx)["image"]))
+        aq = np.asarray(adaptive_normal(dpq.gather(pidx)["image"]))
+        assert np.abs(aq - a16).max() <= 0.02  # rounding + percentile-pick
         # flat volume degrades to zeros, no divide-by-zero
         flat = np.full((1, 4, 4, 4, 1), 37, np.int16)
         dsf = DeviceDataset(flat, np.zeros(1), quantize="uint8")
