@@ -1227,14 +1227,20 @@ class ICLClassifier(FeaturePreprocessMixin, ClassifierMixin, BaseEstimator):
           model (reference tabel_test.py:166-185 trains an SVM across
           folds) needs those stable columns.
         - 'compact': the canonical blocks only (4·max_classes dims) — the
-          fold-stable evidence without the hidden state; measured on the
-          reference's clinical table the hidden block adds nothing to a
-          downstream linear model and its 256 drifting dims dilute the
-          SVM (benchmarks/ADNI_TABULAR.md), so ensemble embedders default
-          to this.
+          fold-stable evidence without the hidden state. This was the
+          ensemble-embedder default before the contrastive embedder
+          asset: with a plain-NLL asset the hidden block's 256 drifting
+          dims diluted the downstream SVM (round-4 measurement, 0.863
+          compact vs 0.829 hidden-diluted); with the round-5 embedder
+          asset the hidden block CARRIES the SVM and 'rich' is the
+          default (benchmarks/ADNI_TABULAR.md).
         - 'rich2': 'rich' plus the view-averaged PENULTIMATE-layer query
           state (multi-layer tap via the sown intermediate) — 2·d_model
-          + canonical blocks.
+          + canonical blocks. Measured on the reference's clinical table
+          it DILUTES (0.880 vs rich 0.906, CPU eval): the contrastive
+          objective shapes only the final layer, and the penultimate
+          state's extra d_model drifting dims cost more than their
+          feature structure adds. Kept as an option for probes.
         - 'hidden': the identity view's final hidden state only (the
           pre-round-4 behavior).
 
