@@ -376,7 +376,11 @@ class TunedICLClassifier(ClassifierMixin, BaseEstimator):
         elif self.search == "adaptive":
             proposer = TPESampler(
                 classifier_choice_space(len(X)),
-                init_sampler=lambda r: default_search_space(r, len(X)))
+                init_sampler=lambda r: default_search_space(r, len(X)),
+                # scale the exploratory phase to the budget so small
+                # n_trials (the benchmarks run 8) still get adaptive
+                # proposals for the back half
+                n_init=max(4, min(8, self.n_trials // 2)))
         else:
             raise ValueError(f"unknown search={self.search!r}")
         trials, fold_scores = [], []

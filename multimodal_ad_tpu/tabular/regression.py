@@ -398,7 +398,8 @@ class TunedICLRegressor(RegressorMixin, BaseEstimator):
             proposer = TPESampler(
                 {"softmax_temperature": [0.75, 1.0, 1.25],
                  "preprocess": [None, "quantile", "whiten", "pairs"],
-                 "n_estimators": [1, 4, 8]}, init_sampler=draw)
+                 "n_estimators": [1, 4, 8]}, init_sampler=draw,
+                n_init=max(4, min(8, self.n_trials // 2)))
         elif self.search != "random":
             raise ValueError(f"unknown search={self.search!r}")
         # trial None = the unmodified base config; tuning never loses to it
