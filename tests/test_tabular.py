@@ -397,6 +397,21 @@ class TestICLClassifier:
         with pytest.raises(FileNotFoundError, match="MAD_ICL_ASSET"):
             icl.load_default_params(icl.ICLConfig())
 
+    def test_embedder_asset_resolution(self, tmp_path, monkeypatch):
+        """The EMBEDDER asset resolves under the same policy as the
+        classifier's: bundled file for the default config, env override
+        hard-fails on a dangling path (round-5 two-asset split)."""
+        from multimodal_ad_tpu.tabular import embedding as emb
+
+        monkeypatch.delenv("MAD_ICL_EMBED_ASSET", raising=False)
+        bundled = os.path.normpath(emb.embedder_asset_path())
+        if os.path.isfile(bundled):
+            assert emb.load_embedder_params() is not None
+        monkeypatch.setenv("MAD_ICL_EMBED_ASSET",
+                           str(tmp_path / "missing.msgpack"))
+        with pytest.raises(FileNotFoundError, match="MAD_ICL_EMBED_ASSET"):
+            emb.load_embedder_params()
+
     def test_too_many_features_raises(self, tiny_params):
         # with the width screen disabled, over-wide tables still fail fast
         clf = ICLClassifier(params=tiny_params, cfg=TINY, screen_features=0)
