@@ -74,8 +74,6 @@ def embedder_asset_path() -> str:
     reference's clinical table — so the shipped split keeps a
     classification-annealed classifier asset and an embedding-phase
     embedder asset (assets/README.md)."""
-    import os
-
     env = os.environ.get("MAD_ICL_EMBED_ASSET")
     if env:
         return env
