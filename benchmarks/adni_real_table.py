@@ -159,6 +159,11 @@ def main():
         "artifact: 0.932). Both claims are now asserted at the bottom of",
         "this script so an asset swap cannot silently regress them.",
         "",
+        "TunedICL's 0.872 is budget-invariant (probed at 8/16/24 trials,",
+        "identical ACC): single-config tuning under the selection guard is",
+        "structurally below the Caruana ensemble (AutoICL) on this table,",
+        "as the reference's TunedTabPFN is to its own ensembles.",
+        "",
     ]
 
     # --- Part A: embedding pipelines, reference's own downstream evals ----
