@@ -60,6 +60,11 @@ def main(argv=None):
                         "see pretrain_icl docstring")
     p.add_argument("--aux-tau", type=float, default=0.2,
                    help="temperature of the contrastive auxiliary loss")
+    p.add_argument("--aux-qc", type=float, default=0.0,
+                   help="weight of the query->context contrastive auxiliary "
+                        "loss (classifier only): shapes the context-state "
+                        "geometry the prototype-cosine / kNN embedding "
+                        "blocks read — see pretrain_icl docstring")
     p.add_argument("--cat-input", action="store_true",
                    help="train with the native categorical pathway "
                         "(ICLConfig.cat_input=True): the prior's cat_mask "
@@ -142,7 +147,7 @@ def main(argv=None):
                                  device_prior=args.device_prior,
                                  chunk=args.chunk, mix=mix,
                                  aux_embed=args.aux_embed,
-                                 aux_tau=args.aux_tau)
+                                 aux_tau=args.aux_tau, aux_qc=args.aux_qc)
     if args.save_dtype == "float16":
         import jax
         import numpy as np

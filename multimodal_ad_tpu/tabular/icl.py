@@ -338,7 +338,7 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
                  lr: float = 3e-4, seed: int = 0, verbose: bool = False,
                  init_params=None, device_prior: bool = False,
                  chunk: int = 100, mix=None, aux_embed: float = 0.0,
-                 aux_tau: float = 0.2):
+                 aux_tau: float = 0.2, aux_qc: float = 0.0):
     """Meta-train the prior-fitted network on synthetic tasks; returns
     (params, cfg).
 
@@ -369,7 +369,15 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
     tabel_test.py:166-185), which needs class identity to dominate the
     embedding geometry itself. Round-3 measured the gap this closes: ICL
     OoF embeddings scored exactly the raw-feature baseline (0.829) on the
-    reference's clinical table while TabPFN-v2's scored 0.932."""
+    reference's clinical table while TabPFN-v2's scored 0.932.
+
+    ``aux_qc`` > 0 adds a query->CONTEXT contrastive term: each query
+    attracts the valid context hidden states of its own class and repels
+    the rest (same temperature ``aux_tau``). The query-only term shapes
+    the hidden block of 'rich' embeddings; the canonical prototype-cosine
+    and kNN-evidence blocks (``get_embeddings``) are built from CONTEXT
+    hidden states, which only the NLL shapes — this term optimizes the
+    exact query-to-context geometry those blocks read at inference."""
     mix_t = None if mix is None else tuple(float(w) for w in mix)
     model = ICLTransformer(cfg)
     rng = np.random.default_rng(seed)
@@ -385,9 +393,9 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
     def loss_fn(p, task):
         xc, xq = _zscore_by_ctx(task["x_ctx"], task["x_qry"],
                                 task["ctx_mask"])
-        logits, q_emb, _ = model.apply(p, xc, task["y_ctx"],
-                                       task["ctx_mask"], xq,
-                                       task.get("cat_mask"))
+        logits, q_emb, c_emb = model.apply(p, xc, task["y_ctx"],
+                                           task["ctx_mask"], xq,
+                                           task.get("cat_mask"))
         logp = jax.nn.log_softmax(logits)
         nll = -jnp.take_along_axis(
             logp, task["y_qry"][..., None].astype(jnp.int32), axis=-1)
@@ -409,6 +417,26 @@ def pretrain_icl(cfg: ICLConfig = ICLConfig(), steps: int = 3000,
             con = -jnp.where(has_pos, pos_lp / jnp.maximum(n_pos, 1), 0.0)
             loss = loss + aux_embed * (con.sum()
                                        / jnp.maximum(has_pos.sum(), 1))
+        if aux_qc > 0.0:
+            # query->context contrastive: anchors are queries, keys are
+            # VALID context states; positives share the query's label
+            yq = task["y_qry"].astype(jnp.int32)  # (B, M)
+            yc = task["y_ctx"].astype(jnp.int32)  # (B, N)
+            valid = task["ctx_mask"] > 0  # (B, N)
+            zq = q_emb / jnp.maximum(
+                jnp.linalg.norm(q_emb, axis=-1, keepdims=True), 1e-6)
+            zc = c_emb / jnp.maximum(
+                jnp.linalg.norm(c_emb, axis=-1, keepdims=True), 1e-6)
+            sim = jnp.einsum("bmd,bnd->bmn", zq, zc) / aux_tau
+            sim = jnp.where(valid[:, None, :], sim, -jnp.inf)
+            same = (yq[:, :, None] == yc[:, None, :]) & valid[:, None, :]
+            log_z = jax.nn.logsumexp(sim, axis=-1)  # (B, M)
+            pos_lp = jnp.where(same, sim - log_z[..., None], 0.0).sum(-1)
+            n_pos = same.sum(-1)
+            has_pos = n_pos > 0
+            con = -jnp.where(has_pos, pos_lp / jnp.maximum(n_pos, 1), 0.0)
+            loss = loss + aux_qc * (con.sum()
+                                    / jnp.maximum(has_pos.sum(), 1))
         return loss
 
     if device_prior:
