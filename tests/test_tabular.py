@@ -623,6 +623,38 @@ class TestOoFEmbedding:
         assert tr5.shape == (1, 60, d_rich)  # concat of 3 folds
         assert te5.shape == (1, 20, d_rich)
 
+    def test_select_embedder_params(self):
+        """Leakage-free asset selection: train-CV of the downstream model
+        on OoF embeddings picks the informative candidate (the round-5
+        measured basis: CV ranking matched test ranking on 4 real assets,
+        see select_embedder_params docstring)."""
+        from multimodal_ad_tpu.tabular.embedding import (
+            select_embedder_params)
+
+        X, y = separable_data(n=60, seed=9)
+
+        class StubEmbedder:
+            """Identity vs all-zeros embeddings via a scale 'param'."""
+
+            def __init__(self, scale):
+                self.scale = scale
+
+            def fit(self, X, y):
+                return self
+
+            def get_embeddings(self, X, data_source="test"):
+                return (self.scale * np.asarray(X))[None]
+
+        name, params, scores = select_embedder_params(
+            X, y, [("zeros", 0.0), ("identity", 1.0)],
+            n_fold=3, cv=3, make_embedder=StubEmbedder)
+        assert name == "identity" and params == 1.0
+        assert scores["identity"] > scores["zeros"]
+
+        with pytest.raises(ValueError):
+            select_embedder_params(X, y, [("z", 0.0)], n_fold=0,
+                                   make_embedder=StubEmbedder)
+
     def test_ensemble_embedder_contract(self, tiny_params):
         """Diversity-ensemble embedder: member embeddings concatenate and
         the result drops into the OoF harness (round-4 embedding-quality
