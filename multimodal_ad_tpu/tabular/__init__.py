@@ -5,7 +5,8 @@ package (models/tabpfn-extensions/src/tabpfn_extensions/__init__.py:9-31),
 with the in-context learner as the default backend.
 """
 
-from .embedding import OoFEmbedding, TabPFNEmbedding
+from .embedding import (EnsembleICLEmbedder, OoFEmbedding, TabPFNEmbedding,
+                        select_embedder_params)
 from .ensembles import (AutoICLClassifier, GreedyWeightedEnsemble,
                         make_stacking_classifier, make_voting_classifier)
 from .hpo import SeedEnsembleICL, TunedICLClassifier
@@ -36,7 +37,8 @@ TabPFNClassifier = ICLClassifier
 TabPFNRegressor = ICLRegressor
 
 __all__ = [
-    "OoFEmbedding", "TabPFNEmbedding", "ICLClassifier", "ICLConfig",
+    "OoFEmbedding", "TabPFNEmbedding", "EnsembleICLEmbedder",
+    "select_embedder_params", "ICLClassifier", "ICLConfig",
     "ICLTransformer", "pretrain_icl", "ManyClassClassifier",
     "AutoICLClassifier", "GreedyWeightedEnsemble", "TunedICLClassifier",
     "SeedEnsembleICL",
