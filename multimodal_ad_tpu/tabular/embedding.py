@@ -103,14 +103,21 @@ def select_embedder_params(X, y, candidates, *, n_fold: int = 5,
 
     Meta-trained embedder continuations carry real seed variance: on the
     reference's clinical table (benchmarks/ADNI_TABULAR.md pipeline),
-    same-recipe seeds span 0.872-0.906 downstream-SVM test ACC. Round-5
-    measured that the 5-fold CV accuracy of the downstream SVM on the
-    TRAIN out-of-fold embeddings ranks candidate assets in the same order
-    as the held-out test accuracy (4 assets probed: CV 0.890/0.882/0.873/
-    0.873 -> test 0.906/0.897/0.889/0.872 — ranking preserved), so a
-    deployment can pick among bundled/continued assets without touching
-    test labels. This is the asset-level analogue of `guarded_selection`
-    in tabular/hpo.py (model selection on training evidence only).
+    same-recipe seeds span 0.872-0.906 downstream-SVM test ACC. The
+    selection signal is the 5-fold CV accuracy of the downstream SVM on
+    the TRAIN out-of-fold embeddings — no test labels touched. Round-5
+    calibration across 10+ same-recipe seeds (table in assets/README.md):
+    the signal is informative but NOISY — the top-CV asset was the top-test
+    asset on the first 7 probes (CV 0.890 -> test 0.906 at the head), but
+    one later seed matched the best CV within 1e-4 while testing 0.034
+    lower, i.e. train-CV differences under ~0.005 are noise at 464 rows
+    and cannot certify a winner. Use this to screen a HANDFUL of
+    candidates (it reliably rejects the 0.87-CV tail); do not use it to
+    split hairs between near-tied CVs, and never grow the candidate pool
+    into a search (greedy member selection over 42 blocks inverted the
+    CV/test relationship outright — assets/README.md negative result).
+    This is the asset-level analogue of `guarded_selection` in
+    tabular/hpo.py (model selection on training evidence only).
 
     Args:
       X, y: the TRAIN split only.
