@@ -106,18 +106,18 @@ def select_embedder_params(X, y, candidates, *, n_fold: int = 5,
     same-recipe seeds span 0.872-0.906 downstream-SVM test ACC. The
     selection signal is the 5-fold CV accuracy of the downstream SVM on
     the TRAIN out-of-fold embeddings — no test labels touched. Round-5
-    calibration across 10+ same-recipe seeds (table in assets/README.md):
-    the signal is informative but NOISY — the top-CV asset was the top-test
-    asset on the first 7 probes (CV 0.890 -> test 0.906 at the head), but
-    one later seed matched the best CV within 1e-4 while testing 0.034
-    lower, i.e. train-CV differences under ~0.005 are noise at 464 rows
-    and cannot certify a winner. Use this to screen a HANDFUL of
-    candidates (it reliably rejects the 0.87-CV tail); do not use it to
-    split hairs between near-tied CVs, and never grow the candidate pool
-    into a search (greedy member selection over 42 blocks inverted the
-    CV/test relationship outright — assets/README.md negative result).
-    This is the asset-level analogue of `guarded_selection` in
-    tabular/hpo.py (model selection on training evidence only).
+    calibration across 13 same-recipe seeds (table in assets/README.md):
+    within ONE training recipe the signal does not rank assets — the
+    top-CV seed tested 0.009 below the top-test seed, and the CV tail
+    spanned the full test range; differences under ~0.01 CV are noise at
+    464 rows. Use this to screen STRUCTURALLY different candidates
+    (objective or architecture changes — failures of the d384-asset kind,
+    0.701 test, are far outside the noise band), not to pick among seeds,
+    and never grow the candidate pool into a search (greedy member
+    selection over 42 blocks inverted the CV/test relationship outright —
+    assets/README.md negative result). This is the asset-level analogue
+    of `guarded_selection` in tabular/hpo.py (model selection on training
+    evidence only).
 
     Args:
       X, y: the TRAIN split only.
