@@ -159,6 +159,14 @@ def main():
         "artifact: 0.932). Both claims are now asserted at the bottom of",
         "this script so an asset swap cannot silently regress them.",
         "",
+        "Seed-marginalized context for the embedding row: 13 same-recipe",
+        "contrastive continuations span 0.863-0.906 on this pipeline's CPU",
+        "twin (mean ~0.888; seed table in assets/README.md), and the",
+        "464-row train-CV selection signal cannot rank them — so the",
+        "shipped-asset number is one draw near the top of that spread,",
+        "not a tuned pick (swapping seeds on train evidence was measured",
+        "to be test-set fishing and rejected).",
+        "",
         "TunedICL's 0.872 is budget-invariant (probed at 8/16/24 trials,",
         "identical ACC): single-config tuning under the selection guard is",
         "structurally below the Caruana ensemble (AutoICL) on this table,",
